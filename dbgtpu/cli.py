@@ -1,0 +1,90 @@
+"""bgreat-compatible command line.
+
+Flag names mirror the reference (bgreat.cpp:67-109) so parity harnesses
+can swap binaries:
+  -r reads (comma-separated), -k k, -g unitigs, -m mismatches,
+  -t threads (accepted; batching replaces it), -e effort, -f paths file,
+  -a notAligned file, -q fastq, -c correction, -G dog/anchor mode,
+  -b exhaustive.
+dbgtpu additions use long names (--impl, --batch-size, ...).
+
+Defects of the reference deliberately not replicated: `-o`/`-p` are
+accepted by its getopt string but have no handlers (unreachable); we
+simply do not define them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dbgtpu",
+        description="TPU-native de Bruijn graph read mapper "
+        "(BGREAT-compatible)",
+    )
+    p.add_argument("-r", dest="reads", required=True,
+                   help="read file(s), comma separated")
+    p.add_argument("-k", dest="k", type=int, default=30, help="k value (30)")
+    p.add_argument("-g", dest="unitigs", default="unitig.fa",
+                   help="unitig file (unitig.fa)")
+    p.add_argument("-m", dest="mismatches", type=int, default=2,
+                   help="allowed mismatches (2)")
+    p.add_argument("-t", dest="threads", type=int, default=1,
+                   help="accepted for compatibility; device batching "
+                        "replaces host threads")
+    p.add_argument("-e", dest="effort", type=int, default=2,
+                   help="mapping effort / anchors tried (2)")
+    p.add_argument("-f", dest="paths_file", default="paths",
+                   help="paths output file (paths)")
+    p.add_argument("-a", dest="not_aligned_file", default="notAligned.fa",
+                   help="not-aligned output file (notAligned.fa)")
+    p.add_argument("-q", dest="fastq", action="store_true",
+                   help="fastq input")
+    p.add_argument("-c", dest="correction", action="store_true",
+                   help="output corrected reads instead of paths")
+    p.add_argument("-G", dest="dog_mode", action="store_true",
+                   help="anchor (k-mer) mode")
+    p.add_argument("-b", dest="exhaustive", action="store_true",
+                   help="exhaustive search mode")
+    p.add_argument("--impl", choices=["python", "jax"], default="python",
+                   help="alignment engine (jax once the device engine "
+                        "lands; python = executable spec)")
+    p.add_argument("--batch-size", type=int, default=8192,
+                   help="reads per device batch")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = make_parser().parse_args(argv)
+    from .pipeline import run_pipeline
+
+    reads_files = args.reads.split(",")
+    t0 = time.monotonic()
+    paths, na, stats = run_pipeline(
+        reads_files,
+        args.unitigs,
+        k=args.k,
+        m=args.mismatches,
+        effort=args.effort,
+        fastq=args.fastq,
+        correction=args.correction,
+        impl=args.impl,
+        batch_size=args.batch_size,
+    )
+    with open(args.paths_file, "wb") as f:
+        f.write(paths)
+    with open(args.not_aligned_file, "wb") as f:
+        f.write(na)
+    print(f"Indexing in seconds : {int(stats.index_seconds)}")
+    for rf in reads_files:
+        print(rf)
+    sys.stdout.write(stats.summary())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,155 @@
+"""Host-side unitig graph index construction.
+
+Produces:
+  - the unitig pool (2-bit codes, concatenated) with offsets/lengths,
+  - precomputed begin/end (k-1)-mers per unitig,
+  - two junction dictionaries (left / right) mapping canonical
+    (k-1)-mers to up-to-4 unitig-ID slots,
+  - (dog mode) an anchor dictionary mapping canonical k-mers to a single
+    (unitig, offset) pair.
+
+Behavioral contract (vs reference indexUnitigsAux, aligner.cpp:407-534):
+  - unitig IDs are 1-based; ID 0 is a sentinel empty unitig,
+  - the unitig FASTA is consumed as header/sequence line pairs, stopping
+    at the first sequence line shorter than k,
+  - begin (k-1)-mer goes to the LEFT dict if canonical as-is, else its
+    RC goes to the RIGHT dict; end (k-1)-mer to the RIGHT dict if
+    canonical as-is, else its RC to the LEFT dict,
+  - per key, at most 4 ID slots: the first three inserts fill slots
+    1..3, every later insert overwrites slot 4 (aligner.cpp:479-531),
+  - dog mode indexes every k-mer at offsets j in [0, len-k-1] (note the
+    reference's `j + k < len` bound excludes the final k-mer); the last
+    writer wins per canonical k-mer (aligner.cpp:466-476).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..seq import encode, rcb, kmers_of, canonical
+
+_ACGT = frozenset(b"ACGT")
+
+
+@dataclass
+class UnitigGraph:
+    k: int
+    n_unitigs: int                    # real unitigs (IDs 1..n_unitigs)
+    pool: np.ndarray                  # uint8 codes, concatenated
+    offsets: np.ndarray               # int64 [n+1], offsets[0] == 0 (sentinel)
+    lengths: np.ndarray               # int32 [n+1], lengths[0] == 0
+    ubeg: np.ndarray                  # uint64 [n+1] begin (k-1)-mer
+    uend: np.ndarray                  # uint64 [n+1] end (k-1)-mer
+    left: Dict[int, List[int]] = field(default_factory=dict)
+    right: Dict[int, List[int]] = field(default_factory=dict)
+    anchors: Dict[int, Tuple[int, int]] = field(default_factory=dict)
+    dog_mode: bool = False
+
+    def unitig_codes(self, sid: int) -> np.ndarray:
+        """Oriented unitig codes; negative sid = reverse complement."""
+        i = abs(sid)
+        off = int(self.offsets[i])
+        u = self.pool[off : off + int(self.lengths[i])]
+        if sid < 0:
+            return (3 - u)[::-1]
+        return u
+
+    def get_end(self, num: int) -> List[int]:
+        """Signed IDs of unitigs whose oriented sequence ENDS with the
+        (k-1)-mer `num` (slot order preserved)."""
+        k1 = self.k - 1
+        rc = int(rcb(np.uint64(num), k1))
+        ids = self.right.get(num, []) if num <= rc else self.left.get(rc, [])
+        return [i if int(self.uend[i]) == num else -i for i in ids]
+
+    def get_begin(self, num: int) -> List[int]:
+        """Signed IDs of unitigs whose oriented sequence BEGINS with
+        `num` (slot order preserved)."""
+        k1 = self.k - 1
+        rc = int(rcb(np.uint64(num), k1))
+        ids = self.left.get(num, []) if num <= rc else self.right.get(rc, [])
+        return [i if int(self.ubeg[i]) == num else -i for i in ids]
+
+    def has_junction(self, rep: int) -> bool:
+        """Canonical (k-1)-mer present in either junction dict."""
+        return rep in self.left or rep in self.right
+
+
+def _slot_insert(d: Dict[int, List[int]], key: int, uid: int) -> None:
+    lst = d.setdefault(key, [])
+    if len(lst) < 4:
+        lst.append(uid)
+    else:
+        lst[3] = uid
+
+
+def parse_unitig_lines(path: str, k: int) -> List[bytes]:
+    """Sequence lines of the unitig FASTA, header/seq pairs, stopping at
+    the first sequence line shorter than k."""
+    seqs: List[bytes] = []
+    with open(path, "rb") as f:
+        while True:
+            header = f.readline()
+            line = f.readline().rstrip(b"\n")
+            if not header or len(line) < k:
+                break
+            seqs.append(line)
+    return seqs
+
+
+def build_graph(path: str, k: int, dog_mode: bool = False) -> UnitigGraph:
+    seqs = parse_unitig_lines(path, k)
+    return build_graph_from_seqs(seqs, k, dog_mode)
+
+
+def build_graph_from_seqs(seqs: List[bytes], k: int, dog_mode: bool = False) -> UnitigGraph:
+    k1 = k - 1
+    n = len(seqs)
+    lengths = np.zeros(n + 1, dtype=np.int32)
+    ubeg = np.zeros(n + 1, dtype=np.uint64)
+    uend = np.zeros(n + 1, dtype=np.uint64)
+    chunks = [np.zeros(0, dtype=np.uint8)]
+    g = UnitigGraph(
+        k=k, n_unitigs=n, pool=np.zeros(0, np.uint8),
+        offsets=np.zeros(n + 1, np.int64), lengths=lengths, ubeg=ubeg,
+        uend=uend, dog_mode=dog_mode,
+    )
+    for i, s in enumerate(seqs, start=1):
+        if set(s) - _ACGT:
+            raise ValueError(
+                f"unitig {i} contains non-ACGT characters; dbgtpu requires "
+                "clean BCALM2-style unitigs"
+            )
+        codes = encode(s)
+        chunks.append(codes)
+        lengths[i] = len(codes)
+        beg = int(kmers_of(codes[:k1], k1)[0])
+        end = int(kmers_of(codes[-k1:], k1)[0])
+        ubeg[i] = beg
+        uend[i] = end
+        rc_beg = int(rcb(np.uint64(beg), k1))
+        rc_end = int(rcb(np.uint64(end), k1))
+        if beg <= rc_beg:
+            _slot_insert(g.left, beg, i)
+        else:
+            _slot_insert(g.right, rc_beg, i)
+        if end <= rc_end:
+            _slot_insert(g.right, end, i)
+        else:
+            _slot_insert(g.left, rc_end, i)
+        if dog_mode:
+            # j + k < len  => offsets 0 .. len-k-1 (reference bound)
+            kms = kmers_of(codes, k)
+            for j in range(0, len(codes) - k):
+                canon = int(canonical(kms[j], k))
+                g.anchors[canon] = (i, j)
+    g.pool = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+    # offsets[i] = start of unitig i in the pool (exclusive prefix sum)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    if n > 1:
+        starts[2:] = np.cumsum(lengths[1:n].astype(np.int64))
+    g.offsets = starts
+    return g

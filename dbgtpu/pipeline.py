@@ -1,0 +1,134 @@
+"""End-to-end mapping pipeline: parse -> align -> format.
+
+The aligner is pluggable: `impl="python"` uses the executable spec in
+model.py (one read at a time, host only); `impl="jax"` uses the batched
+device engine.  Both must produce identical bytes.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .constants import (
+    STATUS_ALIGNED_FWD,
+    STATUS_ALIGNED_RC,
+    STATUS_NO_OVERLAP_FWD,
+    STATUS_RC_NO_OVERLAP,
+    STATUS_FAILED,
+)
+from .index.build import UnitigGraph, build_graph
+from .io.fasta import iter_reads
+from .model import align_read_greedy, format_path, recover_path
+from .seq import decode, encode, n_mask, rc_codes
+
+
+@dataclass
+class RunStats:
+    read_number: int = 0
+    aligned: int = 0
+    not_aligned: int = 0
+    no_overlap: int = 0
+    index_seconds: float = 0.0
+    map_seconds: float = 0.0
+
+    def summary(self) -> str:
+        """Same shape as the reference's end-of-run block
+        (aligner.cpp:588-596)."""
+        rn = self.read_number
+        got = self.aligned + self.not_aligned
+
+        def pct(a, b):
+            return (100.0 * a) / b if b else float("nan")
+
+        return (
+            "The End\n"
+            f"Reads : {rn}\n"
+            f"No overlap : {self.no_overlap} Percent : {_fmt(pct(self.no_overlap, rn))}\n"
+            f"Got overlap : {got} Percent : {_fmt(pct(got, rn))}\n"
+            f"Overlap and aligned : {self.aligned} Percent : {_fmt(pct(self.aligned, got))}\n"
+            f"Overlap but not aligned : {self.not_aligned} Percent : {_fmt(pct(self.not_aligned, got))}\n"
+            f"Reads/seconds : {int(rn / (int(self.map_seconds) + 1))}\n"
+            f"Mapping in seconds : {int(self.map_seconds)}\n"
+        )
+
+
+def _fmt(x: float) -> str:
+    # C++ cout default: 6 significant digits
+    if x != x:
+        return "-nan"
+    return f"{x:.6g}"
+
+
+_NO_OVERLAP_STATUSES = (STATUS_NO_OVERLAP_FWD, STATUS_RC_NO_OVERLAP)
+
+
+def align_stream_python(graph: UnitigGraph, records, m: int, effort: int):
+    """Yield (header, seq, status, path) using the executable spec."""
+    for header, seq in records:
+        codes = encode(seq)
+        nm = n_mask(seq)
+        status, path = align_read_greedy(graph, codes, nm, m, effort)
+        yield header, seq, status, path
+
+
+def run_pipeline(
+    reads_files: list[str],
+    unitig_file: str,
+    k: int,
+    m: int = 2,
+    effort: int = 2,
+    fastq: bool = False,
+    correction: bool = False,
+    impl: str = "python",
+    batch_size: int = 4096,
+    graph: UnitigGraph | None = None,
+):
+    """Returns (paths_bytes, not_aligned_bytes, RunStats)."""
+    stats = RunStats()
+    t0 = time.monotonic()
+    if graph is None:
+        graph = build_graph(unitig_file, k)
+    stats.index_seconds = time.monotonic() - t0
+
+    paths_out: list[bytes] = []
+    na_out: list[bytes] = []
+    t1 = time.monotonic()
+
+    if impl == "python":
+        def stream(records):
+            return align_stream_python(graph, records, m, effort)
+    elif impl == "jax":
+        from .engine.runner import align_stream_jax
+
+        def stream(records):
+            return align_stream_jax(
+                graph, records, m, effort, batch_size=batch_size
+            )
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
+
+    for rf in reads_files:
+        for header, seq, status, path in stream(iter_reads(rf, k, fastq)):
+            stats.read_number += 1
+            if status in (STATUS_ALIGNED_FWD, STATUS_ALIGNED_RC):
+                stats.aligned += 1
+                if correction:
+                    corrected = recover_path(graph, path, len(seq))
+                    if status == STATUS_ALIGNED_RC:
+                        corrected = rc_codes(corrected)
+                    paths_out.append(
+                        header + b"\n" + decode(corrected).encode() + b"\n"
+                    )
+                else:
+                    paths_out.append(header + b"\n" + format_path(path))
+            else:
+                if status in _NO_OVERLAP_STATUSES:
+                    stats.no_overlap += 1
+                elif status == STATUS_FAILED:
+                    stats.not_aligned += 1
+                na_out.append(header + b"\n" + seq + b"\n")
+    stats.map_seconds = time.monotonic() - t1
+    return b"".join(paths_out), b"".join(na_out), stats

@@ -1,0 +1,117 @@
+"""Host-side sequence primitives (numpy, vectorized).
+
+These define the ground-truth semantics the device kernels must match;
+unit-tested against trivial python oracles and, transitively, against
+the compiled reference binary.
+
+Semantics notes (behavioral parity with the reference, not code):
+  - base encoding A=0 C=1 G=2 other=3 (reference str2num, utils.cpp:117);
+    'N' and junk encode as 3 (T),
+  - literal-character Hamming: the reference compares raw chars
+    (utils.cpp:154-168), so an 'N' in a read mismatches every unitig
+    base even though it *encodes* like 'T'.  We carry a per-position
+    N-mask next to the codes and force mismatches there,
+  - string reverse-complement maps everything that is not A/C/G to 'A'
+    (reference revCompChar utils.cpp:52-59), so RC('N') == 'A'.  In code
+    space that is exactly rc_code = 3 - code, and the RC'd read has an
+    all-false N-mask.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# char -> 2-bit code lookup (256 entries). A=0, C=1, G=2, default 3.
+_CODE_LUT = np.full(256, 3, dtype=np.uint8)
+_CODE_LUT[ord("A")] = 0
+_CODE_LUT[ord("C")] = 1
+_CODE_LUT[ord("G")] = 2
+
+_DECODE = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def encode(seq: bytes | str) -> np.ndarray:
+    """Encode an ASCII sequence to 2-bit codes (uint8 array)."""
+    if isinstance(seq, str):
+        seq = seq.encode()
+    raw = np.frombuffer(seq, dtype=np.uint8)
+    return _CODE_LUT[raw]
+
+
+def n_mask(seq: bytes | str) -> np.ndarray:
+    """Boolean mask of positions holding 'N' (literal-mismatch positions)."""
+    if isinstance(seq, str):
+        seq = seq.encode()
+    raw = np.frombuffer(seq, dtype=np.uint8)
+    return raw == ord("N")
+
+
+def decode(codes: np.ndarray) -> str:
+    """Decode 2-bit codes back to an ACGT string."""
+    return _DECODE[np.asarray(codes, dtype=np.uint8)].tobytes().decode()
+
+
+def rc_codes(codes: np.ndarray) -> np.ndarray:
+    """Reverse-complement in code space: reverse order, code -> 3-code."""
+    return (3 - np.asarray(codes, dtype=np.uint8))[::-1]
+
+
+def codes_to_kmer(codes: np.ndarray) -> np.uint64:
+    """Pack a code array (len <= 32) into a uint64, first base in the
+    high bits (reference str2num shifts left as it scans)."""
+    v = np.uint64(0)
+    for c in np.asarray(codes, dtype=np.uint64):
+        v = (v << np.uint64(2)) | c
+    return v
+
+
+def kmers_of(codes: np.ndarray, n: int) -> np.ndarray:
+    """All n-mers of a code array as uint64, vectorized.
+
+    Returns array of shape (len(codes) - n + 1,); empty if too short.
+    """
+    codes = np.asarray(codes, dtype=np.uint64)
+    L = len(codes)
+    if L < n:
+        return np.zeros(0, dtype=np.uint64)
+    # rolling: v[i+1] = ((v[i] << 2) | c[i+n]) mod 4^n
+    # vectorized via cumulative shifts: weight of codes[i+j] in kmer i is
+    # 4^(n-1-j). Use a strided matmul-free approach: polynomial rolling.
+    out = np.zeros(L - n + 1, dtype=np.uint64)
+    v = codes_to_kmer(codes[:n])
+    out[0] = v
+    if L > n:
+        mask = (np.uint64(1) << np.uint64(2 * n)) - np.uint64(1)
+        for i in range(1, L - n + 1):
+            v = ((v << np.uint64(2)) | codes[i + n - 1]) & mask
+            out[i] = v
+    return out
+
+
+def rcb(v: np.uint64 | np.ndarray, n: int) -> np.uint64 | np.ndarray:
+    """Numeric reverse complement of an n-mer (semantics of reference
+    rcb, utils.cpp:182-192), vectorized over arrays."""
+    v = np.asarray(v, dtype=np.uint64)
+    res = np.zeros_like(v)
+    cur = v.copy()
+    for i in range(n):
+        res = (res << np.uint64(2)) | (np.uint64(3) - (cur & np.uint64(3)))
+        cur >>= np.uint64(2)
+    if res.ndim == 0:
+        return np.uint64(res)
+    return res
+
+
+def canonical(v: np.uint64 | np.ndarray, n: int):
+    """min(v, rcb(v)) — the canonical representative."""
+    r = rcb(v, n)
+    return np.minimum(v, r)
+
+
+def hamming(a: np.ndarray, b: np.ndarray, a_nmask: np.ndarray | None = None) -> int:
+    """Mismatch count between equal-length code windows; positions where
+    a_nmask is set always mismatch (literal 'N' semantics)."""
+    d = np.asarray(a) != np.asarray(b)
+    if a_nmask is not None:
+        d = d | np.asarray(a_nmask, dtype=bool)
+    return int(d.sum())
