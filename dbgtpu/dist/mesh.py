@@ -1,0 +1,79 @@
+"""Multi-chip scaling: data parallelism over the read batch.
+
+Mapping is embarrassingly parallel per read, so the scaling design
+(SURVEY.md §2.3) is:
+  - the read batch axis is sharded over every chip of a Mesh via
+    shard_map (the TPU-native equivalent of the reference's
+    pthread work-stealing, alignerGreedy.cpp:367-431),
+  - the index is replicated — it is read-only shared state, exactly as
+    in the reference's shared-memory model; a sharded-index mode for
+    graphs exceeding HBM is future work,
+  - statistics counters are reduced with psum on device (the
+    reference's atomics, aligner.h:68),
+  - multi-host: same program under jax.distributed with a global mesh;
+    per-host input shards are concatenated in file order by the writer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..constants import (
+    STATUS_ALIGNED_FWD,
+    STATUS_ALIGNED_RC,
+    STATUS_FAILED,
+    STATUS_NO_OVERLAP_FWD,
+    STATUS_RC_NO_OVERLAP,
+)
+from ..engine.core import IndexArrays, align_batch
+
+READS_AXIS = "reads"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (READS_AXIS,))
+
+
+def status_counts(status: jax.Array) -> jax.Array:
+    """[6] histogram of per-read outcome codes."""
+    return jnp.stack([
+        jnp.sum(status == s, dtype=jnp.int32)
+        for s in range(6)
+    ])
+
+
+def align_batch_sharded(
+    mesh: Mesh,
+    ix: IndexArrays,
+    codes, nmask, lens,
+    *,
+    k: int, m: int, effort: int, probe_len: int,
+):
+    """Batch sharded over the mesh's reads axis; index replicated;
+    stats psum-reduced on device.  Batch size must divide the mesh."""
+
+    def shard_fn(ix, codes, nmask, lens):
+        res = align_batch(
+            ix, codes, nmask, lens,
+            k=k, m=m, effort=effort, probe_len=probe_len,
+        )
+        res.pop("iters")
+        counts = jax.lax.psum(status_counts(res["status"]), READS_AXIS)
+        return res, counts
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(READS_AXIS), P(READS_AXIS), P(READS_AXIS)),
+        out_specs=(P(READS_AXIS), P()),
+        check_vma=False,
+    )
+    return fn(ix, codes, nmask, lens)

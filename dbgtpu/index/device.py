@@ -1,0 +1,140 @@
+"""Device-resident index layout + vectorized host construction.
+
+The junction index is ONE open-addressing hash table over the union of
+the reference's left/right canonical (k-1)-mer keysets; each slot holds
+the 4 left IDs and the 4 right IDs (reference unitigIndices,
+aligner.h:49-55).  Lookups on device run a fixed number of probes
+(`probe_len`, the maximum displacement seen at build time) — absent
+keys can never false-positive because full keys are compared, which is
+the same defense the reference uses against MPHF aliasing
+(aligner.cpp:158-169).
+
+Construction is vectorized numpy (first-writer-wins claim rounds), not
+a per-key python loop, so multi-million-key graphs build fast on host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..engine.kmer32 import mix32, split64
+from .build import UnitigGraph
+
+
+@dataclass
+class HashTable:
+    khi: np.ndarray       # uint32 [S], key high word
+    klo: np.ndarray       # uint32 [S]
+    used: np.ndarray      # bool   [S]
+    vals: np.ndarray      # int32  [S, V]
+    probe_len: int
+    size: int
+
+
+def build_hash_table(keys: np.ndarray, vals: np.ndarray) -> HashTable:
+    """keys: uint64 [N] unique; vals: int32 [N, V]."""
+    n = len(keys)
+    V = vals.shape[1] if vals.ndim == 2 else 1
+    S = 1 << max(4, int(np.ceil(np.log2(max(1, 2 * n)))))
+    khi = np.zeros(S, np.uint32)
+    klo = np.zeros(S, np.uint32)
+    used = np.zeros(S, bool)
+    out_vals = np.zeros((S, V), np.int32)
+    if n == 0:
+        return HashTable(khi, klo, used, out_vals, 1, S)
+    hi, lo = split64(keys)
+    probe = (mix32(hi, lo) & np.uint32(S - 1)).astype(np.int64)
+    remaining = np.arange(n)
+    disp = np.zeros(n, np.int64)
+    max_disp = 0
+    while len(remaining):
+        cur = probe[remaining]
+        # first-writer-wins claim: last store wins, so iterate in reverse
+        # order so that the lowest-index key claims each slot (any
+        # deterministic winner is fine — layout carries no semantics)
+        claim = np.full(S, -1, np.int64)
+        claim[cur[::-1]] = remaining[::-1]
+        won = (claim[cur] == remaining) & ~used[cur]
+        winners = remaining[won]
+        wslots = cur[won]
+        used[wslots] = True
+        khi[wslots] = hi[winners]
+        klo[wslots] = lo[winners]
+        out_vals[wslots] = vals[winners]
+        max_disp = max(max_disp, int(disp[winners].max(initial=0)))
+        remaining = remaining[~won]
+        probe[remaining] = (probe[remaining] + 1) & (S - 1)
+        disp[remaining] += 1
+    return HashTable(khi, klo, used, out_vals, max_disp + 1, S)
+
+
+@dataclass
+class DeviceIndex:
+    """Everything the device engine needs, as flat numpy arrays (the
+    runner ships them to device once and reuses)."""
+
+    k: int
+    # junction table: vals[:, 0:4] = left slots, vals[:, 4:8] = right
+    tbl: HashTable
+    # unitig pool
+    pool: np.ndarray          # uint8 [P]
+    uoff: np.ndarray          # int32 [U+1]
+    ulen: np.ndarray          # int32 [U+1]
+    # extremity (k-1)-mers and their reverse complements, split u32
+    ubeg_hi: np.ndarray
+    ubeg_lo: np.ndarray
+    uend_hi: np.ndarray
+    uend_lo: np.ndarray
+    rcbeg_hi: np.ndarray
+    rcbeg_lo: np.ndarray
+    rcend_hi: np.ndarray
+    rcend_lo: np.ndarray
+    max_ulen: int
+    # dog-mode anchor table (k-mers -> (unitig, offset)); may be empty
+    anchor_tbl: HashTable | None = None
+
+
+def build_device_index(g: UnitigGraph) -> DeviceIndex:
+    from ..seq import rcb
+
+    k1 = g.k - 1
+    all_keys = sorted(set(g.left) | set(g.right))
+    keys = np.array(all_keys, dtype=np.uint64)
+    vals = np.zeros((len(all_keys), 8), np.int32)
+    for i, key in enumerate(all_keys):
+        for j, uid in enumerate(g.left.get(key, [])[:4]):
+            vals[i, j] = uid
+        for j, uid in enumerate(g.right.get(key, [])[:4]):
+            vals[i, 4 + j] = uid
+    tbl = build_hash_table(keys, vals)
+
+    rcbeg = rcb(g.ubeg, k1)
+    rcend = rcb(g.uend, k1)
+    ubeg_hi, ubeg_lo = split64(g.ubeg)
+    uend_hi, uend_lo = split64(g.uend)
+    rcbeg_hi, rcbeg_lo = split64(rcbeg)
+    rcend_hi, rcend_lo = split64(rcend)
+
+    anchor_tbl = None
+    if g.dog_mode and g.anchors:
+        akeys = np.array(sorted(g.anchors), dtype=np.uint64)
+        avals = np.array(
+            [list(g.anchors[int(a)]) for a in akeys], dtype=np.int32
+        )
+        anchor_tbl = build_hash_table(akeys, avals)
+
+    return DeviceIndex(
+        k=g.k,
+        tbl=tbl,
+        pool=g.pool,
+        uoff=g.offsets.astype(np.int32),
+        ulen=g.lengths.astype(np.int32),
+        ubeg_hi=ubeg_hi, ubeg_lo=ubeg_lo,
+        uend_hi=uend_hi, uend_lo=uend_lo,
+        rcbeg_hi=rcbeg_hi, rcbeg_lo=rcbeg_lo,
+        rcend_hi=rcend_hi, rcend_lo=rcend_lo,
+        max_ulen=int(g.lengths.max(initial=0)),
+        anchor_tbl=anchor_tbl,
+    )

@@ -1,12 +1,19 @@
-"""Test env: force JAX onto a virtual 8-device CPU mesh before any jax
-import, so sharding/collective logic is exercised without TPU hardware
-(SURVEY.md §4.3)."""
+"""Test env: force JAX onto a virtual 8-device CPU mesh so sharding and
+collective logic is exercised without TPU hardware (SURVEY.md §4.3).
+
+The container's sitecustomize pre-registers the axon TPU plugin at
+interpreter start, so env vars alone are not enough — flip the jax
+config before any backend is instantiated."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

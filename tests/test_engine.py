@@ -1,0 +1,124 @@
+"""Device-engine tests: unit (kmer32, hash table) + parity vs the
+executable spec and the compiled reference."""
+
+import numpy as np
+import pytest
+
+from dbgtpu import seq
+from dbgtpu.engine import kmer32
+from dbgtpu.index.build import build_graph_from_seqs
+from dbgtpu.index.device import build_device_index, build_hash_table
+from dbgtpu.pipeline import run_pipeline
+
+from . import oracle, synth
+
+
+def test_rcb_pair_matches_numpy():
+    rng = np.random.default_rng(0)
+    for n in (4, 15, 16, 17, 31, 32):
+        vs = rng.integers(0, 1 << (2 * n), size=200, dtype=np.uint64)
+        hi, lo = kmer32.split64(vs)
+        rhi, rlo = kmer32.rcb_pair(hi, lo, n)
+        expect = seq.rcb(vs, n)
+        got = kmer32.join64(rhi, rlo)
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_mix32_numpy_jnp_identical():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    hi = rng.integers(0, 2**32, size=100, dtype=np.uint64).astype(np.uint32)
+    lo = rng.integers(0, 2**32, size=100, dtype=np.uint64).astype(np.uint32)
+    h_np = kmer32.mix32(hi, lo)
+    h_j = np.asarray(kmer32.mix32(jnp.asarray(hi), jnp.asarray(lo)))
+    np.testing.assert_array_equal(h_np, h_j)
+
+
+def test_hash_table_exact_dict():
+    rng = np.random.default_rng(2)
+    keys = np.unique(rng.integers(0, 2**62, size=5000, dtype=np.uint64))
+    vals = rng.integers(1, 100, size=(len(keys), 8)).astype(np.int32)
+    t = build_hash_table(keys, vals)
+    # every key findable within probe_len
+    hi, lo = kmer32.split64(keys)
+    h = (kmer32.mix32(hi, lo) & np.uint32(t.size - 1)).astype(np.int64)
+    found = np.full(len(keys), -1, np.int64)
+    for p in range(t.probe_len):
+        idx = (h + p) & (t.size - 1)
+        ok = t.used[idx] & (t.khi[idx] == hi) & (t.klo[idx] == lo)
+        found = np.where((found < 0) & ok, idx, found)
+    assert (found >= 0).all()
+    np.testing.assert_array_equal(t.vals[found], vals)
+    # absent keys never match
+    absent = rng.integers(2**62, 2**63, size=1000, dtype=np.uint64)
+    ahi, alo = kmer32.split64(absent)
+    h = (kmer32.mix32(ahi, alo) & np.uint32(t.size - 1)).astype(np.int64)
+    hit = np.zeros(len(absent), bool)
+    for p in range(t.probe_len):
+        idx = (h + p) & (t.size - 1)
+        hit |= t.used[idx] & (t.khi[idx] == ahi) & (t.klo[idx] == alo)
+    assert not hit.any()
+
+
+def _paths_by_engine(reads_fa, unitigs_fa, k, m, effort, tmp_path, impl,
+                     batch_size=64):
+    rp = tmp_path / f"reads_{impl}.fa"
+    up = tmp_path / f"unitigs_{impl}.fa"
+    rp.write_bytes(reads_fa)
+    up.write_bytes(unitigs_fa)
+    return run_pipeline(
+        [str(rp)], str(up), k=k, m=m, effort=effort, impl=impl,
+        batch_size=batch_size,
+    )
+
+
+def test_engine_fixture_golden(tmp_path):
+    reads = open("/root/reference/reads.fa", "rb").read()
+    unitigs = open("/root/reference/unitig.fa", "rb").read()
+    paths, na, _ = _paths_by_engine(reads, unitigs, 4, 2, 2, tmp_path, "jax")
+    assert paths == b">nomiss\n0.1.3.4.-6.\n>nomiss\n0.1.3.5.-6.\n"
+    assert na == b""
+
+
+@pytest.mark.parametrize("seed,k,m,n_frac", [
+    (101, 31, 2, 0.0),
+    (102, 15, 2, 0.0),
+    (103, 21, 1, 0.3),
+    (104, 31, 0, 0.0),
+])
+def test_engine_vs_spec(tmp_path, seed, k, m, n_frac):
+    reads_fa, unitigs_fa = synth.make_dataset(
+        seed=seed, genome_len=12000, k=k, n_reads=150, n_frac=n_frac,
+    )
+    got = _paths_by_engine(reads_fa, unitigs_fa, k, m, 2, tmp_path, "jax")
+    want = _paths_by_engine(reads_fa, unitigs_fa, k, m, 2, tmp_path, "python")
+    assert got[0] == want[0]
+    assert got[1] == want[1]
+
+
+def test_engine_vs_spec_short_unitigs(tmp_path):
+    reads_fa, unitigs_fa = synth.make_dataset(
+        seed=111, genome_len=6000, k=15, n_reads=120,
+        min_unitig=15, max_unitig=40,
+    )
+    got = _paths_by_engine(reads_fa, unitigs_fa, 15, 2, 2, tmp_path, "jax")
+    want = _paths_by_engine(reads_fa, unitigs_fa, 15, 2, 2, tmp_path,
+                            "python")
+    assert got[:2] == want[:2]
+
+
+@pytest.mark.skipif(not oracle.reference_available(),
+                    reason="reference not mounted")
+def test_engine_vs_reference_binary(tmp_path):
+    reads_fa, unitigs_fa = synth.make_dataset(
+        seed=121, genome_len=20000, k=31, n_reads=300, n_frac=0.2,
+    )
+    ref_paths, ref_na, _ = oracle.run_reference(
+        reads_fa, unitigs_fa, k=31, m=2, effort=2
+    )
+    paths, na, _ = _paths_by_engine(
+        reads_fa, unitigs_fa, 31, 2, 2, tmp_path, "jax"
+    )
+    assert paths == ref_paths
+    assert na == ref_na
