@@ -1,0 +1,157 @@
+"""dbgtpu benchmark: reads mapped/sec/chip at k=31, m=2.
+
+Workload mirrors the measured CPU baseline in SURVEY.md §6 (reference
+bgreat, 1 thread, 2-vCPU container: ~66k reads/s): 100 bp reads sampled
+from a 2 Mbp synthetic genome, half carrying 1-2 errors, unitigs 40-150
+bp (~30k unitigs), k=31, m=2, effort=2.
+
+Measures the steady-state device mapping loop (batches resident on
+device, results summarized on device, one scalar read back per
+timed run).  Host I/O, packing and the index build are reported
+separately in the human-readable lines; the driver-facing JSON line is
+the headline mapping throughput.
+
+Prints exactly one JSON line on stdout:
+  {"metric": "reads_mapped_per_sec_chip", "value": N,
+   "unit": "reads/s", "vs_baseline": N / 66000}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_READS_PER_S = 66_000.0  # SURVEY.md §6, 1-thread reference
+
+SEED = 20260817
+GENOME_LEN = 2_000_000
+K = 31
+M = 2
+EFFORT = 2
+READ_LEN = 100
+BATCH = int(os.environ.get("DBGTPU_BENCH_BATCH", 32768))
+N_BATCHES = int(os.environ.get("DBGTPU_BENCH_NBATCHES", 4))
+TIMED_REPS = int(os.environ.get("DBGTPU_BENCH_REPS", 3))
+
+_CACHE = os.environ.get(
+    "DBGTPU_BENCH_CACHE", "/tmp/dbgtpu_bench_cache.npz"
+)
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_workload():
+    """(unitig_seqs list[bytes], reads [N, READ_LEN] uint8 codes)."""
+    from tests import synth
+    from dbgtpu.seq import encode
+
+    key = f"{SEED}-{GENOME_LEN}-{K}-{READ_LEN}-{BATCH * N_BATCHES}"
+    if os.path.exists(_CACHE):
+        z = np.load(_CACHE, allow_pickle=True)
+        if str(z["key"]) == key:
+            return list(z["unitigs"]), z["codes"]
+
+    rng = np.random.default_rng(SEED)
+    genome = synth.make_genome(rng, GENOME_LEN)
+    unitigs = synth.chop_unitigs(genome, K, rng, 40, 150)
+    unitigs = synth.orient_shuffle(unitigs, rng)
+    reads = synth.sample_reads(
+        genome, rng, BATCH * N_BATCHES, READ_LEN, err_frac=0.5
+    )
+    codes = np.stack([encode(r) for r in reads])
+    np.savez(
+        _CACHE,
+        key=key,
+        unitigs=np.array(unitigs, dtype=object),
+        codes=codes,
+    )
+    return unitigs, codes
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.monotonic()
+    unitigs, codes_all = build_workload()
+    n_reads = codes_all.shape[0]
+    log(f"workload: {len(unitigs)} unitigs, {n_reads} reads "
+        f"({time.monotonic() - t0:.1f}s)")
+
+    from dbgtpu.index.build import build_graph_from_seqs
+    from dbgtpu.index.device import build_device_index
+    from dbgtpu.engine.core import align_batch, index_to_device
+
+    t0 = time.monotonic()
+    g = build_graph_from_seqs(unitigs, K)
+    di = build_device_index(g)
+    log(f"index build: {time.monotonic() - t0:.1f}s "
+        f"({len(unitigs)} unitigs)")
+
+    dev = jax.devices()[0]
+    t0 = time.monotonic()
+    ix = jax.device_put(index_to_device(di), dev)
+    L = codes_all.shape[1]
+    nm = np.zeros((BATCH, L), bool)
+    lens = np.full(BATCH, READ_LEN, np.int32)
+    batches = [
+        jax.device_put(codes_all[i * BATCH : (i + 1) * BATCH], dev)
+        for i in range(N_BATCHES)
+    ]
+    nm_d = jax.device_put(nm, dev)
+    lens_d = jax.device_put(lens, dev)
+    jax.block_until_ready((ix, batches, nm_d, lens_d))
+    log(f"H2D: {time.monotonic() - t0:.1f}s")
+
+    def step(codes):
+        res = align_batch(
+            ix, codes, nm_d, lens_d,
+            k=K, m=M, effort=EFFORT, probe_len=di.tbl.probe_len,
+        )
+        # summarize on device: count aligned, checksum offsets
+        aligned = jnp.sum((res["status"] == 1) | (res["status"] == 2))
+        chk = jnp.sum(res["offset"]) + jnp.sum(res["llen"] + res["rlen"])
+        return aligned.astype(jnp.int32), chk.astype(jnp.int32)
+
+    # warmup / compile
+    t0 = time.monotonic()
+    a, c = step(batches[0])
+    jax.block_until_ready((a, c))
+    log(f"compile+first batch: {time.monotonic() - t0:.1f}s")
+
+    best = 0.0
+    aligned_total = 0
+    for rep in range(TIMED_REPS):
+        t0 = time.monotonic()
+        outs = [step(b) for b in batches]
+        jax.block_until_ready(outs)
+        dt = time.monotonic() - t0
+        rps = n_reads / dt
+        aligned_total = int(sum(int(a) for a, _ in outs))
+        log(f"rep {rep}: {dt * 1e3:.0f} ms for {n_reads} reads "
+            f"-> {rps:,.0f} reads/s ({aligned_total} aligned)")
+        best = max(best, rps)
+
+    frac = aligned_total / n_reads
+    if frac < 0.5:
+        log(f"WARNING: aligned fraction {frac:.2%} is suspicious")
+
+    print(json.dumps({
+        "metric": "reads_mapped_per_sec_chip",
+        "value": round(best, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(best / BASELINE_READS_PER_S, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -50,6 +50,8 @@ def make_parser() -> argparse.ArgumentParser:
                    help="anchor (k-mer) mode")
     p.add_argument("-b", dest="exhaustive", action="store_true",
                    help="exhaustive search mode")
+    p.add_argument("-i", dest="partial", action="store_true",
+                   help="accept partial alignments (exhaustive mode)")
     p.add_argument("--impl", choices=["python", "jax"], default="python",
                    help="alignment engine (jax once the device engine "
                         "lands; python = executable spec)")
@@ -74,6 +76,12 @@ def main(argv: list[str] | None = None) -> int:
         correction=args.correction,
         impl=args.impl,
         batch_size=args.batch_size,
+        mode=(
+            "exhaustive" if args.exhaustive
+            else "anchors" if args.dog_mode
+            else "greedy"
+        ),
+        partial=args.partial,
     )
     with open(args.paths_file, "wb") as f:
         f.write(paths)

@@ -65,12 +65,30 @@ def _fmt(x: float) -> str:
 _NO_OVERLAP_STATUSES = (STATUS_NO_OVERLAP_FWD, STATUS_RC_NO_OVERLAP)
 
 
-def align_stream_python(graph: UnitigGraph, records, m: int, effort: int):
+def align_stream_python(
+    graph: UnitigGraph, records, m: int, effort: int,
+    mode: str = "greedy", partial: bool = False,
+):
     """Yield (header, seq, status, path) using the executable spec."""
+    if mode == "greedy":
+        def align(codes, nm):
+            return align_read_greedy(graph, codes, nm, m, effort)
+    elif mode == "exhaustive":
+        from .exhaustive import align_read_exhaustive
+
+        def align(codes, nm):
+            return align_read_exhaustive(graph, codes, nm, m, partial)
+    elif mode == "anchors":
+        from .anchors import align_read_greedy_anchors
+
+        def align(codes, nm):
+            return align_read_greedy_anchors(graph, codes, nm, m, effort)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
     for header, seq in records:
         codes = encode(seq)
         nm = n_mask(seq)
-        status, path = align_read_greedy(graph, codes, nm, m, effort)
+        status, path = align(codes, nm)
         yield header, seq, status, path
 
 
@@ -85,21 +103,28 @@ def run_pipeline(
     impl: str = "python",
     batch_size: int = 4096,
     graph: UnitigGraph | None = None,
+    mode: str = "greedy",
+    partial: bool = False,
 ):
     """Returns (paths_bytes, not_aligned_bytes, RunStats)."""
     stats = RunStats()
     t0 = time.monotonic()
     if graph is None:
-        graph = build_graph(unitig_file, k)
+        graph = build_graph(unitig_file, k, dog_mode=(mode == "anchors"))
     stats.index_seconds = time.monotonic() - t0
 
     paths_out: list[bytes] = []
     na_out: list[bytes] = []
     t1 = time.monotonic()
 
+    if mode != "greedy" and impl == "jax":
+        # the device engine currently implements greedy mode; the other
+        # modes run on the executable spec (device versions on the way)
+        impl = "python"
+
     if impl == "python":
         def stream(records):
-            return align_stream_python(graph, records, m, effort)
+            return align_stream_python(graph, records, m, effort, mode, partial)
     elif impl == "jax":
         from .engine.runner import align_stream_jax
 
