@@ -36,11 +36,35 @@ from ..constants import (
     STATUS_NO_OVERLAP_FWD,
     STATUS_RC_NO_OVERLAP,
 )
-from .kmer32 import mix32, pair_le, rcb_pair
+from .kmer32 import mix32, pair_le, rcb_pair, rev2_32
 
 # phases
 _FETCH, _LEFT, _RFIRST, _RCONT, _DONE = 0, 1, 2, 3, 4
 _BIG = np.int32(1 << 30)
+_LANE_LO = np.uint32(0x55555555)
+_FULL32 = np.uint32(0xFFFFFFFF)
+
+
+def _pack_rows(vals32):
+    """[B, L] uint32 2-bit values -> [B, ceil(L/16)+1] uint32 words,
+    value at position i in bits 2*(i%16) of word i//16; one guard word."""
+    B, L = vals32.shape
+    Lw = (L + 15) // 16
+    pad = Lw * 16 - L
+    if pad:
+        vals32 = jnp.pad(vals32, ((0, 0), (0, pad)))
+    lanes = vals32.reshape(B, Lw, 16)
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    words = jnp.sum(lanes << shifts, axis=2, dtype=jnp.uint32)
+    return jnp.concatenate([words, jnp.zeros((B, 1), jnp.uint32)], axis=1)
+
+
+def _funnel(w0, w1, sh):
+    """Per-lane funnel shift: (w0 >> sh) | (w1 << (32-sh)); sh is an
+    even uint32 in [0, 30] (sh == 0 handled without the UB shift)."""
+    hi = jnp.where(sh > 0, w1 << ((jnp.uint32(32) - sh) & jnp.uint32(31)),
+                   jnp.uint32(0))
+    return (w0 >> sh) | hi
 
 
 class IndexArrays(NamedTuple):
@@ -50,7 +74,7 @@ class IndexArrays(NamedTuple):
     tbl_klo: jax.Array
     tbl_used: jax.Array
     tbl_vals: jax.Array     # [S, 8] left4 | right4
-    pool: jax.Array         # uint8
+    pool_words: jax.Array   # uint32, 16 bases/word (2-bit packed)
     uoff: jax.Array         # int32 [U+1]
     ulen: jax.Array         # int32 [U+1]
     ubeg_hi: jax.Array
@@ -69,7 +93,7 @@ def index_to_device(di) -> IndexArrays:
     return IndexArrays(
         tbl_khi=jnp.asarray(t.khi), tbl_klo=jnp.asarray(t.klo),
         tbl_used=jnp.asarray(t.used), tbl_vals=jnp.asarray(t.vals),
-        pool=jnp.asarray(di.pool),
+        pool_words=jnp.asarray(di.pool_words),
         uoff=jnp.asarray(di.uoff), ulen=jnp.asarray(di.ulen),
         ubeg_hi=jnp.asarray(di.ubeg_hi), ubeg_lo=jnp.asarray(di.ubeg_lo),
         uend_hi=jnp.asarray(di.uend_hi), uend_lo=jnp.asarray(di.uend_lo),
@@ -136,8 +160,31 @@ def _first_k_hits(member, values_hi, values_lo, positions, E: int):
     )
 
 
+def pack_paths(res: dict, pmax: int):
+    """Device-side path compaction: [B, pmax] int32 where row i holds
+    [offset, reversed left ids, right ids]; plus plen [B] (clamped to
+    pmax; entries needing more than pmax slots report the true length
+    so the host can recompute the rare overflow rows).  Keeps D2H
+    traffic tiny compared to shipping the full lbuf/rbuf buffers."""
+    offset, llen, rlen = res["offset"], res["llen"], res["rlen"]
+    lbuf, rbuf = res["lbuf"], res["rbuf"]
+    B = offset.shape[0]
+    j = jnp.arange(pmax, dtype=jnp.int32)[None, :]
+    ll = llen[:, None]
+    # j==0 -> offset; 1..llen -> lbuf[llen-j]; llen+1.. -> rbuf[j-llen-1]
+    li = jnp.clip(ll - j, 0, lbuf.shape[1] - 1)
+    ri = jnp.clip(j - ll - 1, 0, rbuf.shape[1] - 1)
+    lv = jnp.take_along_axis(lbuf, li, axis=1)
+    rv = jnp.take_along_axis(rbuf, ri, axis=1)
+    out = jnp.where(j == 0, offset[:, None], jnp.where(j <= ll, lv, rv))
+    plen = 1 + llen + rlen
+    out = jnp.where(j < plen[:, None], out, 0)
+    return out, plen
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "m", "effort", "probe_len", "max_iters")
+    jax.jit,
+    static_argnames=("k", "m", "effort", "probe_len", "max_iters", "pmax"),
 )
 def align_batch(
     ix: IndexArrays,
@@ -150,6 +197,7 @@ def align_batch(
     effort: int,
     probe_len: int,
     max_iters: int = 0,
+    pmax: int = 0,
 ):
     """Align a batch.  Returns dict of per-read results."""
     B, L = codes.shape
@@ -174,6 +222,11 @@ def align_batch(
         0,
     ).astype(jnp.uint8)
     rc32 = rc_codes.astype(jnp.uint32)
+
+    # packed (16 bases/word) images for the junction compare
+    rwf = _pack_rows(codes32)
+    rwr = _pack_rows(rc32)
+    nmw = _pack_rows(nmask.astype(jnp.uint32))
 
     # ---- anchor scan ----
     # std: N encodes 3 throughout; buggy: rolled-in N encodes 0
@@ -348,25 +401,54 @@ def align_batch(
             jnp.where((mL | mRF)[:, None], ul - k1, jnp.minimum(ul, remc)),
         )
 
-        # windowed compare [B, 4, L]
+        # windowed compare, 2-bit packed: XOR + popcount on 16-base
+        # word lanes (SURVEY.md §7.1 kernel (c)).  Forward candidates
+        # stream pool words ascending; RC candidates stream descending
+        # with lanes reversed + complemented (rev2_32 of ~word).
         orient = s["orient"]
-        codes_cur = jnp.where((orient == 0)[:, None], codes, rc_codes)
-        nm_cur = nmask & (orient == 0)[:, None]
-        t = jnp.arange(L, dtype=jnp.int32)[None, None, :]
-        ridx3 = jnp.clip(rstart[:, :, None] + t, 0, L - 1)
-        rv = jnp.take_along_axis(codes_cur[:, None, :], ridx3, axis=2)
-        nm3 = jnp.take_along_axis(nm_cur[:, None, :], ridx3, axis=2)
-        xoff = ustart[:, :, None] + t
-        pidx = jnp.where(
-            is_fwd[:, :, None],
-            uoffc[:, :, None] + xoff,
-            uoffc[:, :, None] + (ul[:, :, None] - 1) - xoff,
+        W = (L + 15) // 16 + 1  # output words: window <= L lanes + spill
+        jarr = jnp.arange(W + 1, dtype=jnp.int32)[None, None, :]
+        p = uoffc + ustart                # [B,4] fwd base pool index
+        q = uoffc + ul - 1 - ustart       # [B,4] rc base pool index
+        base_w = jnp.where(is_fwd, p >> 4, q >> 4)
+        widx = jnp.where(
+            is_fwd[:, :, None], base_w[:, :, None] + jarr,
+            base_w[:, :, None] - jarr,
         )
-        pidx = jnp.clip(pidx, 0, ix.pool.shape[0] - 1)
-        uv = ix.pool[pidx]
-        uv = jnp.where(is_fwd[:, :, None], uv, 3 - uv)
-        mism = ((uv != rv) | nm3) & (t < w[:, :, None])
-        miss = jnp.sum(mism, axis=2, dtype=jnp.int32)
+        widx = jnp.clip(widx, 0, ix.pool_words.shape[0] - 1)
+        wds = ix.pool_words[widx]          # [B,4,W+1]
+        wds = jnp.where(
+            is_fwd[:, :, None], wds, rev2_32(wds ^ _FULL32)
+        )
+        sh_a = (
+            2 * jnp.where(is_fwd, p & 15, 15 - (q & 15))
+        ).astype(jnp.uint32)[:, :, None]
+        a = _funnel(wds[..., :-1], wds[..., 1:], sh_a)     # [B,4,W]
+
+        rw_cur = jnp.where((orient == 0)[:, None], rwf, rwr)
+        rw0 = rstart >> 4
+        ridxw = jnp.clip(rw0[:, :, None] + jarr, 0, rw_cur.shape[1] - 1)
+        bwds = jnp.take_along_axis(rw_cur[:, None, :], ridxw, axis=2)
+        sh_b = (2 * (rstart & 15)).astype(jnp.uint32)[:, :, None]
+        b = _funnel(bwds[..., :-1], bwds[..., 1:], sh_b)
+        nwds = jnp.take_along_axis(nmw[:, None, :], ridxw, axis=2)
+        nb = _funnel(nwds[..., :-1], nwds[..., 1:], sh_b)
+        nb = jnp.where((orient == 0)[:, None, None], nb, jnp.uint32(0))
+
+        x = a ^ b
+        mismw = ((x | (x >> 1)) & _LANE_LO) | nb
+        v = jnp.clip(
+            w[:, :, None]
+            - 16 * jnp.arange(W, dtype=jnp.int32)[None, None, :],
+            0, 16,
+        )
+        lane_mask = jnp.where(
+            v >= 16, _FULL32,
+            (jnp.uint32(1) << (2 * v).astype(jnp.uint32)) - jnp.uint32(1),
+        ) & _LANE_LO
+        miss = jnp.sum(
+            jax.lax.population_count(mismw & lane_mask), axis=2,
+        ).astype(jnp.int32)
         miss = jnp.where(valid_c, miss, _BIG)
 
         bestj = jnp.argmin(miss, axis=1).astype(jnp.int32)
@@ -455,7 +537,7 @@ def align_batch(
     for _ in range(4):
         state = bookkeep(state)
 
-    return dict(
+    res = dict(
         status=state["status"],
         orient=state["orient"],
         offset=state["offset"],
@@ -465,3 +547,6 @@ def align_batch(
         rbuf=state["rbuf"],
         iters=state["iters"],
     )
+    if pmax:
+        res["paths"], res["plen"] = pack_paths(res, pmax)
+    return res

@@ -64,6 +64,104 @@ def unpack_result(res: dict, i: int):
     return status, path
 
 
+def _pmax_for(di: DeviceIndex, L: int) -> int:
+    """Static packed-path bound: offset + per-direction walk count.
+    Each junction consumes at least (min unitig len - (k-1)) read bases;
+    overflow rows (plen > pmax) are recomputed on host (rare)."""
+    ul = di.ulen[1:]
+    stride = max(1, int(ul.min(initial=1)) - (di.k - 1))
+    return int(1 + 2 * ((L + stride - 1) // stride) + 4)
+
+
+def align_bulk(
+    graph: UnitigGraph,
+    parsed,                      # native.ParsedReads
+    m: int,
+    effort: int,
+    batch_size: int = 8192,
+):
+    """Bulk array alignment, input order preserved.
+
+    Returns (status int32 [N], path_off int64 [N+1], paths_flat int32)
+    where aligned reads' spans hold [offset, signed ids...] and
+    non-aligned reads have empty spans.
+    """
+    di = get_device_index(graph)
+    ix = index_to_device(di)
+    k = graph.k
+    N = parsed.n
+    lens_all = np.diff(parsed.seq_off).astype(np.int32)
+    status_all = np.zeros(N, np.int32)
+    counts_all = np.zeros(N, np.int64)
+    flat_parts: list[np.ndarray] = []
+
+    pending: list[tuple[int, dict, int, int]] = []  # (s0, res, nb, pmax)
+
+    def drain():
+        for s0, res, nb, pmax in pending:
+            status = np.asarray(res["status"])[:nb]
+            paths = np.asarray(res["paths"])[:nb]
+            plen = np.asarray(res["plen"])[:nb]
+            aligned = (status == 1) | (status == 2)
+            over = aligned & (plen > pmax)
+            if over.any():
+                # rare fallback: recompute overflow rows on host
+                from ..model import align_read_greedy
+
+                for i in np.nonzero(over)[0]:
+                    gi = s0 + int(i)
+                    _, codes, nm = parsed.record(gi)
+                    st, path = align_read_greedy(graph, codes, nm, m, effort)
+                    status[i] = st
+                    row = np.zeros(pmax, np.int32)
+                    pl = 0
+                    if path is not None:
+                        pl = min(len(path), pmax)
+                        row[:pl] = path[:pl]
+                    paths[i] = row
+                    plen[i] = pl
+                aligned = (status == 1) | (status == 2)
+            status_all[s0 : s0 + nb] = status
+            counts = np.where(aligned, np.minimum(plen, pmax), 0)
+            counts_all[s0 : s0 + nb] = counts
+            cols = np.arange(paths.shape[1])[None, :]
+            mask = aligned[:, None] & (cols < counts[:, None])
+            flat_parts.append(paths[mask])
+        pending.clear()
+
+    for s0 in range(0, N, batch_size):
+        nb = min(batch_size, N - s0)
+        lens = lens_all[s0 : s0 + nb]
+        L = _bucket_len(int(lens.max(initial=k + 1)), k)
+        pmax = _pmax_for(di, L)
+        starts = parsed.seq_off[s0 : s0 + nb]
+        col = np.arange(L, dtype=np.int64)[None, :]
+        gidx = starts[:, None] + np.minimum(col, (lens - 1)[:, None])
+        valid = col < lens[:, None]
+        codes = np.zeros((batch_size, L), np.uint8)
+        nmask = np.zeros((batch_size, L), bool)
+        codes[:nb] = np.where(valid, parsed.codes[gidx], 0)
+        nmask[:nb] = parsed.nmask[gidx] & valid
+        blens = np.zeros(batch_size, np.int32)
+        blens[:nb] = lens
+        res = align_batch(
+            ix, codes, nmask, blens,
+            k=k, m=m, effort=effort, probe_len=di.tbl.probe_len,
+            pmax=pmax,
+        )
+        pending.append((s0, res, nb, pmax))
+        if len(pending) >= 4:  # keep a short device pipeline
+            drain()
+    drain()
+
+    path_off = np.zeros(N + 1, np.int64)
+    np.cumsum(counts_all, out=path_off[1:])
+    paths_flat = (
+        np.concatenate(flat_parts) if flat_parts else np.zeros(0, np.int32)
+    )
+    return status_all, path_off, paths_flat
+
+
 def align_stream_jax(
     graph: UnitigGraph,
     records: Iterator[Tuple[bytes, bytes]],

@@ -70,6 +70,21 @@ def build_hash_table(keys: np.ndarray, vals: np.ndarray) -> HashTable:
     return HashTable(khi, klo, used, out_vals, max_disp + 1, S)
 
 
+def pack_words(codes: np.ndarray) -> np.ndarray:
+    """2-bit codes -> uint32 words, 16 bases per word, base i at bit
+    2*(i%16) of word i//16; padded with 2 guard words so device funnel
+    shifts can always read word w+1."""
+    codes = np.asarray(codes, np.uint8)
+    n = len(codes)
+    nw = (n + 15) >> 4
+    padded = np.zeros(nw * 16, np.uint8)
+    padded[:n] = codes
+    lanes = padded.reshape(nw, 16).astype(np.uint32)
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
+    words = (lanes << shifts).sum(axis=1, dtype=np.uint32)
+    return np.concatenate([words, np.zeros(2, np.uint32)])
+
+
 @dataclass
 class DeviceIndex:
     """Everything the device engine needs, as flat numpy arrays (the
@@ -80,6 +95,7 @@ class DeviceIndex:
     tbl: HashTable
     # unitig pool
     pool: np.ndarray          # uint8 [P]
+    pool_words: np.ndarray    # uint32 [ceil(P/16)+2]; base i at bits 2*(i%16)
     uoff: np.ndarray          # int32 [U+1]
     ulen: np.ndarray          # int32 [U+1]
     # extremity (k-1)-mers and their reverse complements, split u32
@@ -129,6 +145,7 @@ def build_device_index(g: UnitigGraph) -> DeviceIndex:
         k=g.k,
         tbl=tbl,
         pool=g.pool,
+        pool_words=pack_words(g.pool),
         uoff=g.offsets.astype(np.int32),
         ulen=g.lengths.astype(np.int32),
         ubeg_hi=ubeg_hi, ubeg_lo=ubeg_lo,

@@ -1,0 +1,224 @@
+// dbgtpu native runtime: read parsing + 2-bit packing.
+//
+// TPU-native equivalent of the reference's C++ host runtime
+// (Aligner::getReads, aligner.cpp:46-117): parses FASTA/FASTQ with the
+// reference's acceptance rules and emits flat arrays ready for numpy /
+// device batching — 2-bit codes, N-mask, record offsets, headers.
+// Behavior contract is dbgtpu/io/fasta.py (the executable spec); the
+// two are parity-tested byte-for-byte.
+//
+// Build: g++ -O3 -march=native -shared -fPIC io.cpp -o libdbgtpu_io.so
+// (driven by dbgtpu/native/__init__.py, cached, with python fallback).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Tables {
+    uint8_t code[256];   // A=0 C=1 G=2 else 3
+    uint8_t ok[256];     // 1 iff in {A,C,G,T,N}
+    uint8_t isn[256];    // 1 iff 'N'
+    Tables() {
+        memset(code, 3, sizeof(code));
+        memset(ok, 0, sizeof(ok));
+        memset(isn, 0, sizeof(isn));
+        code[(unsigned)'A'] = 0;
+        code[(unsigned)'C'] = 1;
+        code[(unsigned)'G'] = 2;
+        code[(unsigned)'T'] = 3;
+        ok[(unsigned)'A'] = ok[(unsigned)'C'] = ok[(unsigned)'G'] =
+            ok[(unsigned)'T'] = ok[(unsigned)'N'] = 1;
+        isn[(unsigned)'N'] = 1;
+    }
+};
+const Tables T;
+
+struct Builder {
+    std::vector<uint8_t> codes, nmask, headers;
+    std::vector<int64_t> seq_off{0}, hdr_off{0};
+    // in-progress record state
+    int64_t rec_seq_start = 0, rec_hdr_start = 0;
+    bool rec_valid = true;
+    bool rec_open = false;
+
+    void open_record(const char* hdr, size_t hlen) {
+        rec_seq_start = (int64_t)codes.size();
+        rec_hdr_start = (int64_t)headers.size();
+        headers.insert(headers.end(), hdr, hdr + hlen);
+        rec_valid = true;
+        rec_open = true;
+    }
+    void add_seq(const char* s, size_t n) {
+        for (size_t i = 0; i < n; ++i) {
+            unsigned c = (unsigned char)s[i];
+            if (!T.ok[c]) rec_valid = false;
+            codes.push_back(T.code[c]);
+            nmask.push_back(T.isn[c]);
+        }
+    }
+    // close; keep iff valid && len > 2 && len > min_len
+    void close_record(int64_t min_len) {
+        if (!rec_open) return;
+        int64_t len = (int64_t)codes.size() - rec_seq_start;
+        if (rec_valid && len > 2 && len > min_len) {
+            seq_off.push_back((int64_t)codes.size());
+            hdr_off.push_back((int64_t)headers.size());
+        } else {
+            codes.resize(rec_seq_start);
+            nmask.resize(rec_seq_start);
+            headers.resize(rec_hdr_start);
+        }
+        rec_open = false;
+    }
+};
+
+// Split buf into newline-terminated lines (last line may lack \n);
+// calls fn(line_start, line_len_without_newline).
+template <class F>
+void for_lines(const char* buf, size_t n, F fn) {
+    size_t i = 0;
+    while (i < n) {
+        const char* nl = (const char*)memchr(buf + i, '\n', n - i);
+        size_t len = nl ? (size_t)(nl - (buf + i)) : n - i;
+        fn(buf + i, len);
+        i += len + (nl ? 1 : 0);
+        if (!nl) break;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+struct Parsed {
+    int64_t n;          // accepted records
+    int64_t seq_bytes;  // total sequence length
+    int64_t hdr_bytes;
+    uint8_t* codes;     // [seq_bytes]
+    uint8_t* nmask;     // [seq_bytes]
+    int64_t* seq_off;   // [n+1]
+    uint8_t* headers;   // [hdr_bytes] concatenated header lines (no \n)
+    int64_t* hdr_off;   // [n+1]
+};
+
+static Parsed* finish(Builder& b) {
+    Parsed* p = (Parsed*)malloc(sizeof(Parsed));
+    p->n = (int64_t)b.seq_off.size() - 1;
+    p->seq_bytes = (int64_t)b.codes.size();
+    p->hdr_bytes = (int64_t)b.headers.size();
+    p->codes = (uint8_t*)malloc(b.codes.size() ? b.codes.size() : 1);
+    p->nmask = (uint8_t*)malloc(b.nmask.size() ? b.nmask.size() : 1);
+    p->headers = (uint8_t*)malloc(b.headers.size() ? b.headers.size() : 1);
+    p->seq_off = (int64_t*)malloc(b.seq_off.size() * sizeof(int64_t));
+    p->hdr_off = (int64_t*)malloc(b.hdr_off.size() * sizeof(int64_t));
+    memcpy(p->codes, b.codes.data(), b.codes.size());
+    memcpy(p->nmask, b.nmask.data(), b.nmask.size());
+    memcpy(p->headers, b.headers.data(), b.headers.size());
+    memcpy(p->seq_off, b.seq_off.data(), b.seq_off.size() * sizeof(int64_t));
+    memcpy(p->hdr_off, b.hdr_off.data(), b.hdr_off.size() * sizeof(int64_t));
+    return p;
+}
+
+// Parse a read file.  fastq=0: FASTA — records joined across lines,
+// accepted iff charset ok && len>2 && len>k.  fastq=1: 4-line FASTQ —
+// accepted iff charset ok && len>2 (no len>k rule, matching the
+// reference; its last-record duplication defect is NOT replicated).
+Parsed* dbg_parse_reads(const char* path, int64_t k, int32_t fastq) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return nullptr;
+    fseek(f, 0, SEEK_END);
+    long fsz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<char> buf((size_t)fsz);
+    if (fsz && fread(buf.data(), 1, (size_t)fsz, f) != (size_t)fsz) {
+        fclose(f);
+        return nullptr;
+    }
+    fclose(f);
+
+    Builder b;
+    if (!fastq) {
+        for_lines(buf.data(), buf.size(), [&](const char* s, size_t len) {
+            if (len > 0 && s[0] == '>') {
+                b.close_record(k);
+                b.open_record(s, len);
+            } else if (b.rec_open) {
+                b.add_seq(s, len);
+            }
+        });
+        b.close_record(k);
+    } else {
+        // 4-line records; a truncated trailing record (missing '+' or
+        // qual line) still yields its sequence, then parsing stops.
+        size_t i = 0, n = buf.size();
+        auto next_line = [&](const char*& s, size_t& len) -> bool {
+            if (i >= n) return false;
+            const char* nl = (const char*)memchr(buf.data() + i, '\n', n - i);
+            s = buf.data() + i;
+            len = nl ? (size_t)(nl - s) : n - i;
+            i += len + (nl ? 1 : 0);
+            return true;
+        };
+        for (;;) {
+            const char *h, *s, *pl, *q;
+            size_t hl, sl, pll, ql;
+            if (!next_line(h, hl)) break;
+            if (!next_line(s, sl)) { s = nullptr; sl = 0; }
+            bool have_plus = next_line(pl, pll);
+            bool have_qual = next_line(q, ql);
+            b.open_record(h, hl);
+            if (s) b.add_seq(s, sl);
+            b.close_record(2);  // len > 2 only (no k rule in fastq)
+            if (!have_plus || !have_qual) break;
+        }
+    }
+    return finish(b);
+}
+
+void dbg_free_parsed(Parsed* p) {
+    if (!p) return;
+    free(p->codes);
+    free(p->nmask);
+    free(p->headers);
+    free(p->seq_off);
+    free(p->hdr_off);
+    free(p);
+}
+
+// ---------------------------------------------------------------- writer
+
+// Format the paths file: per aligned read, header line + newline +
+// "v." joined path + newline (reference printPath, aligner.cpp:600-609).
+// paths_flat holds each read's path values back to back (path_off[i] ..
+// path_off[i+1]); reads with status not in {1,2} are skipped.
+// Returns malloc'd buffer; *out_len receives its length.
+uint8_t* dbg_format_paths(
+    const uint8_t* headers, const int64_t* hdr_off,
+    const int32_t* status, const int64_t* path_off,
+    const int32_t* paths_flat, int64_t n, int64_t* out_len) {
+    std::vector<uint8_t> out;
+    out.reserve((size_t)n * 32);
+    char tmp[16];
+    for (int64_t i = 0; i < n; ++i) {
+        if (status[i] != 1 && status[i] != 2) continue;
+        out.insert(out.end(), headers + hdr_off[i], headers + hdr_off[i + 1]);
+        out.push_back('\n');
+        for (int64_t j = path_off[i]; j < path_off[i + 1]; ++j) {
+            int len = snprintf(tmp, sizeof(tmp), "%d.", paths_flat[j]);
+            out.insert(out.end(), tmp, tmp + len);
+        }
+        out.push_back('\n');
+    }
+    uint8_t* res = (uint8_t*)malloc(out.size() ? out.size() : 1);
+    memcpy(res, out.data(), out.size());
+    *out_len = (int64_t)out.size();
+    return res;
+}
+
+void dbg_free_buf(uint8_t* p) { free(p); }
+
+}  // extern "C"

@@ -64,6 +64,68 @@ def _fmt(x: float) -> str:
 
 _NO_OVERLAP_STATUSES = (STATUS_NO_OVERLAP_FWD, STATUS_RC_NO_OVERLAP)
 
+_CHARS = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _format_paths_python(headers, hdr_off, status, path_off, flat):
+    out = []
+    for i in range(len(status)):
+        if status[i] not in (STATUS_ALIGNED_FWD, STATUS_ALIGNED_RC):
+            continue
+        h = headers[hdr_off[i] : hdr_off[i + 1]]
+        p = flat[path_off[i] : path_off[i + 1]]
+        out.append(h + b"\n" + ("".join(f"{v}." for v in p) + "\n").encode())
+    return b"".join(out)
+
+
+def _run_file_bulk(
+    graph, rf, m, effort, fastq, correction, batch_size,
+    stats, paths_out, na_out,
+):
+    from . import native
+    from .engine.runner import align_bulk
+
+    parsed = native.parse_reads(rf, graph.k, fastq)
+    status, path_off, flat = align_bulk(
+        graph, parsed, m, effort, batch_size=batch_size
+    )
+    stats.read_number += parsed.n
+    aligned = (status == STATUS_ALIGNED_FWD) | (status == STATUS_ALIGNED_RC)
+    stats.aligned += int(aligned.sum())
+    stats.no_overlap += int(np.isin(status, _NO_OVERLAP_STATUSES).sum())
+    stats.not_aligned += int((status == STATUS_FAILED).sum())
+
+    if correction:
+        for i in np.nonzero(aligned)[0]:
+            h = parsed.headers[parsed.hdr_off[i] : parsed.hdr_off[i + 1]]
+            path = [int(v) for v in flat[path_off[i] : path_off[i + 1]]]
+            rlen = int(parsed.seq_off[i + 1] - parsed.seq_off[i])
+            corrected = recover_path(graph, path, rlen)
+            if status[i] == STATUS_ALIGNED_RC:
+                corrected = rc_codes(corrected)
+            paths_out.append(h + b"\n" + decode(corrected).encode() + b"\n")
+    elif native.available():
+        paths_out.append(
+            native.format_paths_native(
+                parsed.headers, parsed.hdr_off, status, path_off, flat
+            )
+        )
+    else:
+        paths_out.append(
+            _format_paths_python(
+                parsed.headers, parsed.hdr_off, status, path_off, flat
+            )
+        )
+
+    if not aligned.all():
+        chars = _CHARS[parsed.codes].copy()
+        chars[parsed.nmask] = ord("N")
+        cb = chars.tobytes()
+        for i in np.nonzero(~aligned)[0]:
+            h = parsed.headers[parsed.hdr_off[i] : parsed.hdr_off[i + 1]]
+            s, e = int(parsed.seq_off[i]), int(parsed.seq_off[i + 1])
+            na_out.append(h + b"\n" + cb[s:e] + b"\n")
+
 
 def align_stream_python(
     graph: UnitigGraph, records, m: int, effort: int,
@@ -121,6 +183,16 @@ def run_pipeline(
         # the device engine currently implements greedy mode; the other
         # modes run on the executable spec (device versions on the way)
         impl = "python"
+
+    if impl == "jax":
+        # bulk array path: native parse -> device batches -> native format
+        for rf in reads_files:
+            _run_file_bulk(
+                graph, rf, m, effort, fastq, correction, batch_size,
+                stats, paths_out, na_out,
+            )
+        stats.map_seconds = time.monotonic() - t1
+        return b"".join(paths_out), b"".join(na_out), stats
 
     if impl == "python":
         def stream(records):
