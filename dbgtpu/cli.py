@@ -52,17 +52,34 @@ def make_parser() -> argparse.ArgumentParser:
                    help="exhaustive search mode")
     p.add_argument("-i", dest="partial", action="store_true",
                    help="accept partial alignments (exhaustive mode)")
+    p.add_argument("-p", dest="paths_mode", action="store_true",
+                   help="simple-path mode (reachable here, unlike the "
+                        "reference whose -p flag has no handler)")
     p.add_argument("--impl", choices=["python", "jax"], default="python",
                    help="alignment engine (jax once the device engine "
                         "lands; python = executable spec)")
     p.add_argument("--batch-size", type=int, default=8192,
                    help="reads per device batch")
+    p.add_argument("--save-index", metavar="FILE",
+                   help="persist the built index (npz) and continue")
+    p.add_argument("--load-index", metavar="FILE",
+                   help="load a persisted index instead of rebuilding "
+                        "(-g/-k are then ignored)")
+    p.add_argument("--json-summary", metavar="FILE",
+                   help="write a structured run summary (JSON)")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = make_parser().parse_args(argv)
     from .pipeline import run_pipeline
+
+    graph = None
+    if args.load_index:
+        from .index.persist import load_graph
+
+        graph = load_graph(args.load_index)
+        args.k = graph.k
 
     reads_files = args.reads.split(",")
     t0 = time.monotonic()
@@ -77,11 +94,15 @@ def main(argv: list[str] | None = None) -> int:
         impl=args.impl,
         batch_size=args.batch_size,
         mode=(
-            "exhaustive" if args.exhaustive
+            ("paths-exhaustive" if args.exhaustive else "paths")
+            if args.paths_mode
+            else "exhaustive" if args.exhaustive
             else "anchors" if args.dog_mode
             else "greedy"
         ),
         partial=args.partial,
+        graph=graph,
+        save_index=args.save_index,
     )
     with open(args.paths_file, "wb") as f:
         f.write(paths)
@@ -91,6 +112,12 @@ def main(argv: list[str] | None = None) -> int:
     for rf in reads_files:
         print(rf)
     sys.stdout.write(stats.summary())
+    if args.json_summary:
+        import json
+
+        with open(args.json_summary, "w") as f:
+            json.dump(stats.as_dict(), f, indent=2)
+            f.write("\n")
     return 0
 
 

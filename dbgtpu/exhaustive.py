@@ -65,11 +65,15 @@ def _walk_left_exh(
     num: int,
     pos: int,
     budget: int,
+    used: frozenset | None = None,
 ) -> Tuple[int, List[int]]:
     """Exhaustive left extension from junction (k-1)-mer `num` at read
     position `pos`.  Returns (mismatches, path_prefix) where path_prefix
     is [offset, deepest_id, ..., nearest_id]; mismatches > budget on
     failure.  (checkBeginExhaustive/mapOnLeftEndExhaustive semantics.)
+
+    `used` (path mode): signed unitig IDs already on the walk are
+    skipped — the simple-path constraint of alignerPaths.cpp:370-371.
     """
     k1 = g.k - 1
     if pos == 0:
@@ -78,6 +82,8 @@ def _walk_left_exh(
     best = budget + 1
     best_path: List[int] = []
     for sid in cands:
+        if used is not None and sid in used:
+            continue
         u = g.unitig_codes(sid)
         ul = len(u)
         if ul - k1 >= pos:
@@ -95,7 +101,8 @@ def _walk_left_exh(
                     else _rcb64(int(g.uend[-sid]), k1)
                 )
                 sub, sub_path = _walk_left_exh(
-                    g, codes, nm, nxt, pos - w, budget - miss
+                    g, codes, nm, nxt, pos - w, budget - miss,
+                    used | {sid} if used is not None else None,
                 )
                 miss += sub
                 if miss < best:
@@ -113,11 +120,14 @@ def _walk_right_exh(
     budget: int,
     partial: bool,
     first: bool,
+    used: frozenset | None = None,
 ) -> Tuple[int, List[int]]:
     """Exhaustive right extension; `pos` is the junction start (the
     remaining read begins at pos+k-1).  Returns (mismatches, id_list).
     (checkEndExhaustive/mapOnRightEndExhaustive semantics; both compare
     from unitig.substr(k-1), so `first` only gates the partial check.)
+
+    `used`: simple-path filter (path mode), as in _walk_left_exh.
     """
     k1 = g.k - 1
     L = len(codes)
@@ -132,6 +142,8 @@ def _walk_right_exh(
     best = budget + 1
     best_path: List[int] = []
     for sid in cands:
+        if used is not None and sid in used:
+            continue
         u = g.unitig_codes(sid)
         ul = len(u)
         if ul - k1 >= rem:
@@ -154,6 +166,7 @@ def _walk_right_exh(
                 sub, sub_path = _walk_right_exh(
                     g, codes, nm, nxt, pos + w, budget - miss,
                     partial, False,
+                    used | {sid} if used is not None else None,
                 )
                 miss += sub
                 if miss < best:

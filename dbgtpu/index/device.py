@@ -37,7 +37,9 @@ def build_hash_table(keys: np.ndarray, vals: np.ndarray) -> HashTable:
     """keys: uint64 [N] unique; vals: int32 [N, V]."""
     n = len(keys)
     V = vals.shape[1] if vals.ndim == 2 else 1
-    S = 1 << max(4, int(np.ceil(np.log2(max(1, 2 * n)))))
+    # load factor <= 0.25: device lookups scan probe_len slots
+    # unconditionally, so short max displacement beats dense memory
+    S = 1 << max(4, int(np.ceil(np.log2(max(1, 4 * n)))))
     khi = np.zeros(S, np.uint32)
     klo = np.zeros(S, np.uint32)
     used = np.zeros(S, bool)

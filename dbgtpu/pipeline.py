@@ -55,6 +55,22 @@ class RunStats:
         )
 
 
+    def as_dict(self) -> dict:
+        """Structured run summary (SURVEY.md §5 observability note)."""
+        return {
+            "reads": self.read_number,
+            "aligned": self.aligned,
+            "not_aligned": self.not_aligned,
+            "no_overlap": self.no_overlap,
+            "index_seconds": round(self.index_seconds, 3),
+            "map_seconds": round(self.map_seconds, 3),
+            "reads_per_second": (
+                round(self.read_number / self.map_seconds, 1)
+                if self.map_seconds > 0 else None
+            ),
+        }
+
+
 def _fmt(x: float) -> str:
     # C++ cout default: 6 significant digits
     if x != x:
@@ -145,6 +161,16 @@ def align_stream_python(
 
         def align(codes, nm):
             return align_read_greedy_anchors(graph, codes, nm, m, effort)
+    elif mode == "paths":
+        from .paths_mode import align_read_greedy_path
+
+        def align(codes, nm):
+            return align_read_greedy_path(graph, codes, nm, m, effort, partial)
+    elif mode == "paths-exhaustive":
+        from .paths_mode import align_read_exhaustive_path
+
+        def align(codes, nm):
+            return align_read_exhaustive_path(graph, codes, nm, m, partial)
     else:
         raise ValueError(f"unknown mode {mode!r}")
     for header, seq in records:
@@ -167,12 +193,17 @@ def run_pipeline(
     graph: UnitigGraph | None = None,
     mode: str = "greedy",
     partial: bool = False,
+    save_index: str | None = None,
 ):
     """Returns (paths_bytes, not_aligned_bytes, RunStats)."""
     stats = RunStats()
     t0 = time.monotonic()
     if graph is None:
         graph = build_graph(unitig_file, k, dog_mode=(mode == "anchors"))
+    if save_index:
+        from .index.persist import save_graph
+
+        save_graph(graph, save_index)
     stats.index_seconds = time.monotonic() - t0
 
     paths_out: list[bytes] = []
