@@ -106,50 +106,82 @@ def build_graph(path: str, k: int, dog_mode: bool = False) -> UnitigGraph:
 
 
 def build_graph_from_seqs(seqs: List[bytes], k: int, dog_mode: bool = False) -> UnitigGraph:
+    """Vectorized bulk construction (one numpy pass over the joined
+    pool; no per-unitig numpy calls — multi-million-unitig graphs build
+    in seconds on host)."""
     k1 = k - 1
     n = len(seqs)
+    raw = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+    bad = ~np.isin(raw, np.frombuffer(b"ACGT", np.uint8))
     lengths = np.zeros(n + 1, dtype=np.int32)
-    ubeg = np.zeros(n + 1, dtype=np.uint64)
-    uend = np.zeros(n + 1, dtype=np.uint64)
-    chunks = [np.zeros(0, dtype=np.uint8)]
-    g = UnitigGraph(
-        k=k, n_unitigs=n, pool=np.zeros(0, np.uint8),
-        offsets=np.zeros(n + 1, np.int64), lengths=lengths, ubeg=ubeg,
-        uend=uend, dog_mode=dog_mode,
-    )
-    for i, s in enumerate(seqs, start=1):
-        if set(s) - _ACGT:
-            raise ValueError(
-                f"unitig {i} contains non-ACGT characters; dbgtpu requires "
-                "clean BCALM2-style unitigs"
-            )
-        codes = encode(s)
-        chunks.append(codes)
-        lengths[i] = len(codes)
-        beg = int(kmers_of(codes[:k1], k1)[0])
-        end = int(kmers_of(codes[-k1:], k1)[0])
-        ubeg[i] = beg
-        uend[i] = end
-        rc_beg = int(rcb(np.uint64(beg), k1))
-        rc_end = int(rcb(np.uint64(end), k1))
-        if beg <= rc_beg:
-            _slot_insert(g.left, beg, i)
-        else:
-            _slot_insert(g.right, rc_beg, i)
-        if end <= rc_end:
-            _slot_insert(g.right, end, i)
-        else:
-            _slot_insert(g.left, rc_end, i)
-        if dog_mode:
-            # j + k < len  => offsets 0 .. len-k-1 (reference bound)
-            kms = kmers_of(codes, k)
-            for j in range(0, len(codes) - k):
-                canon = int(canonical(kms[j], k))
-                g.anchors[canon] = (i, j)
-    g.pool = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
-    # offsets[i] = start of unitig i in the pool (exclusive prefix sum)
-    starts = np.zeros(n + 1, dtype=np.int64)
+    if n:
+        lengths[1:] = np.fromiter(
+            (len(s) for s in seqs), dtype=np.int32, count=n
+        )
+    # offsets[i] = start of unitig i in the pool (sentinel 0 empty)
+    offsets = np.zeros(n + 1, dtype=np.int64)
     if n > 1:
-        starts[2:] = np.cumsum(lengths[1:n].astype(np.int64))
-    g.offsets = starts
+        offsets[2:] = np.cumsum(lengths[1:n], dtype=np.int64)
+    if bad.any():
+        i = int(np.searchsorted(offsets[1:], np.nonzero(bad)[0][0], "right"))
+        raise ValueError(
+            f"unitig {i} contains non-ACGT characters; dbgtpu requires "
+            "clean BCALM2-style unitigs"
+        )
+    pool = encode(raw.tobytes())
+
+    g = UnitigGraph(
+        k=k, n_unitigs=n, pool=pool, offsets=offsets,
+        lengths=lengths, ubeg=np.zeros(n + 1, np.uint64),
+        uend=np.zeros(n + 1, np.uint64), dog_mode=dog_mode,
+    )
+    if n == 0:
+        return g
+
+    # extremity (k-1)-mers, vectorized: gather [n, k1] then weight-sum
+    jj = np.arange(k1, dtype=np.int64)[None, :]
+    st = offsets[1:, None]
+    en = (offsets[1:] + lengths[1:].astype(np.int64) - k1)[:, None]
+    wts = (2 * (k1 - 1 - jj)).astype(np.uint64)
+    beg = (pool[st + jj].astype(np.uint64) << wts).sum(axis=1, dtype=np.uint64)
+    end = (pool[en + jj].astype(np.uint64) << wts).sum(axis=1, dtype=np.uint64)
+    g.ubeg[1:] = beg
+    g.uend[1:] = end
+    rc_beg = rcb(beg, k1)
+    rc_end = rcb(end, k1)
+
+    beg_left = beg <= rc_beg
+    end_right = end <= rc_end
+    bkeys = np.where(beg_left, beg, rc_beg)
+    ekeys = np.where(end_right, end, rc_end)
+    for i in range(1, n + 1):
+        if beg_left[i - 1]:
+            _slot_insert(g.left, int(bkeys[i - 1]), i)
+        else:
+            _slot_insert(g.right, int(bkeys[i - 1]), i)
+        if end_right[i - 1]:
+            _slot_insert(g.right, int(ekeys[i - 1]), i)
+        else:
+            _slot_insert(g.left, int(ekeys[i - 1]), i)
+
+    if dog_mode:
+        # all k-mers of the pool via one rolling pass, then per-unitig
+        # validity (j + k < len: reference bound, excludes last k-mer)
+        kms = kmers_of(pool, k)  # [P - k + 1] at pool positions
+        cnt = np.maximum(lengths[1:].astype(np.int64) - k, 0)
+        uid = np.repeat(np.arange(1, n + 1), cnt)
+        cum = np.zeros(n + 1, np.int64)
+        np.cumsum(cnt, out=cum[1:])
+        # ragged arange: j within unitig, then add its pool offset
+        pos_ok = (
+            np.arange(cum[-1], dtype=np.int64) - cum[uid - 1] + offsets[uid]
+        )
+        canon = canonical(kms[pos_ok], k)
+        offs = (pos_ok - offsets[uid]).astype(np.int64)
+        # dict(zip(...)) keeps the LAST occurrence = reference's
+        # last-writer-wins (aligner.cpp:473)
+        g.anchors = dict(zip(
+            canon.tolist(),
+            zip(uid.tolist(), offs.tolist()),
+        ))
     return g
