@@ -36,7 +36,7 @@ from ..constants import (
     STATUS_NO_OVERLAP_FWD,
     STATUS_RC_NO_OVERLAP,
 )
-from .kmer32 import mix32, pair_le, rcb_pair, rev2_32
+from .kmer32 import mix32, mix32b, pair_le, rcb_pair, rev2_32
 
 # phases
 _FETCH, _LEFT, _RFIRST, _RCONT, _DONE = 0, 1, 2, 3, 4
@@ -70,10 +70,9 @@ def _funnel(w0, w1, sh):
 class IndexArrays(NamedTuple):
     """Device-side view of DeviceIndex (all jnp arrays)."""
 
-    tbl_khi: jax.Array
-    tbl_klo: jax.Array
-    tbl_used: jax.Array
-    tbl_vals: jax.Array     # [S, 8] left4 | right4
+    tbl_khi: jax.Array      # uint32 [nb, 4] bucketed keys (hi)
+    tbl_klo: jax.Array      # uint32 [nb, 4]
+    tbl_vals: jax.Array     # int32  [nb*4, 8] left4 | right4
     pool_words: jax.Array   # uint32, 16 bases/word (2-bit packed)
     uoff: jax.Array         # int32 [U+1]
     ulen: jax.Array         # int32 [U+1]
@@ -92,7 +91,7 @@ def index_to_device(di) -> IndexArrays:
     t = di.tbl
     return IndexArrays(
         tbl_khi=jnp.asarray(t.khi), tbl_klo=jnp.asarray(t.klo),
-        tbl_used=jnp.asarray(t.used), tbl_vals=jnp.asarray(t.vals),
+        tbl_vals=jnp.asarray(t.vals.reshape(-1, t.vals.shape[-1])),
         pool_words=jnp.asarray(di.pool_words),
         uoff=jnp.asarray(di.uoff), ulen=jnp.asarray(di.ulen),
         ubeg_hi=jnp.asarray(di.ubeg_hi), ubeg_lo=jnp.asarray(di.ubeg_lo),
@@ -102,16 +101,21 @@ def index_to_device(di) -> IndexArrays:
     )
 
 
-def _ht_find(ix: IndexArrays, qhi, qlo, probe_len: int):
-    """Slot index of (qhi, qlo) in the junction table, or -1."""
-    S = ix.tbl_khi.shape[0]
-    mask = jnp.uint32(S - 1)
-    h = (mix32(qhi, qlo) & mask).astype(jnp.int32)
+def _ht_find(ix: IndexArrays, qhi, qlo):
+    """Flat slot index (bucket*4 + s) of (qhi, qlo) in the two-choice
+    bucketed junction table, or -1.  Exactly two 4-slot bucket-row
+    gathers per key array (lookups are gather-throughput bound)."""
+    nb = ix.tbl_khi.shape[0]
+    mask = jnp.uint32(nb - 1)
     slot = jnp.full(qhi.shape, -1, jnp.int32)
-    for p in range(probe_len):
-        idx = (h + p) & jnp.int32(S - 1)
-        ok = ix.tbl_used[idx] & (ix.tbl_khi[idx] == qhi) & (ix.tbl_klo[idx] == qlo)
-        slot = jnp.where((slot < 0) & ok, idx, slot)
+    for hfn in (mix32, mix32b):
+        b = (hfn(qhi, qlo) & mask).astype(jnp.int32)
+        rk_hi = ix.tbl_khi[b]            # [..., 4]
+        rk_lo = ix.tbl_klo[b]
+        ok = (rk_hi == qhi[..., None]) & (rk_lo == qlo[..., None])
+        s = jnp.argmax(ok, axis=-1).astype(jnp.int32)
+        hit = jnp.any(ok, axis=-1)
+        slot = jnp.where((slot < 0) & hit, b * 4 + s, slot)
     return slot
 
 
@@ -242,13 +246,13 @@ def align_batch(
     le1 = pair_le(bug_hi, bug_lo, rcs_hi, rcs_lo)
     rep1_hi = jnp.where(le1, bug_hi, rcs_hi)
     rep1_lo = jnp.where(le1, bug_lo, rcs_lo)
-    member1 = (_ht_find(ix, rep1_hi, rep1_lo, probe_len) >= 0) & valid
+    member1 = (_ht_find(ix, rep1_hi, rep1_lo) >= 0) & valid
 
     def _member2():
         le2 = pair_le(std_hi, std_lo, rcs_hi, rcs_lo)
         r_hi = jnp.where(le2, std_hi, rcs_hi)
         r_lo = jnp.where(le2, std_lo, rcs_lo)
-        return (_ht_find(ix, r_hi, r_lo, probe_len) >= 0) & valid
+        return (_ht_find(ix, r_hi, r_lo) >= 0) & valid
 
     member2 = jax.lax.cond(jnp.any(nmask), _member2, lambda: member1)
 
@@ -367,7 +371,7 @@ def align_batch(
         is_canon = pair_le(bhi, blo, rhi, rlo)
         chi = jnp.where(is_canon, bhi, rhi)
         clo = jnp.where(is_canon, blo, rlo)
-        slot = _ht_find(ix, chi, clo, probe_len)
+        slot = _ht_find(ix, chi, clo)
         vals8 = ix.tbl_vals[jnp.maximum(slot, 0)]          # [B, 8]
         use_right = jnp.where(mL, is_canon, ~is_canon)
         cands = jnp.where(use_right[:, None], vals8[:, 4:8], vals8[:, 0:4])
@@ -525,8 +529,10 @@ def align_batch(
         return jnp.any(s["phase"] != _DONE) & (s["iters"] < max_iters)
 
     def body(s):
-        for _ in range(4):
-            s = bookkeep(s)
+        # one bookkeep resolves a full transition chain (its FETCH ->
+        # LEFT -> RFIRST -> DONE checks run sequentially on the updated
+        # state), so a single call per junction step suffices
+        s = bookkeep(s)
         s = junction(s)
         s["iters"] = s["iters"] + 1
         return s
@@ -534,7 +540,7 @@ def align_batch(
     state = jax.lax.while_loop(cond, body, state)
     # flush terminal bookkeeping (a read can finish in bookkeep phase
     # right after the final junction iteration)
-    for _ in range(4):
+    for _ in range(2):
         state = bookkeep(state)
 
     res = dict(

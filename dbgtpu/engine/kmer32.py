@@ -49,6 +49,16 @@ def mix32(hi, lo):
     return h
 
 
+_H2A = _np.uint32(0x7FEB352D)
+_H2B = _np.uint32(0x846CA68B)
+
+
+def mix32b(hi, lo):
+    """Second, independent hash of a kmer pair (two-choice bucketing).
+    Same numpy/jnp bit-parity contract as mix32."""
+    return mix32(lo ^ _H2A, hi ^ _H2B)
+
+
 def rev2_32(x):
     """Reverse the sixteen 2-bit groups within each uint32."""
     x = ((x & 0x33333333) << 2) | ((x >> 2) & 0x33333333)

@@ -19,57 +19,95 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..engine.kmer32 import mix32, split64
+from ..engine.kmer32 import mix32, mix32b, split64
 from .build import UnitigGraph
+
+
+_EMPTY_KEY = np.uint32(0xFFFFFFFF)  # (khi, klo) both all-ones = empty
 
 
 @dataclass
 class HashTable:
-    khi: np.ndarray       # uint32 [S], key high word
-    klo: np.ndarray       # uint32 [S]
-    used: np.ndarray      # bool   [S]
-    vals: np.ndarray      # int32  [S, V]
-    probe_len: int
-    size: int
+    """Two-choice bucketed hash table: nb buckets x 4 slots.
+
+    A key lives in slot s of bucket h1(key) or h2(key); a device lookup
+    is exactly TWO 4-slot bucket gathers + key compares (vs 13+ probes
+    of the former linear-probe layout — lookups are gather-throughput
+    bound on TPU, SURVEY.md §7.3).  Empty slots hold all-ones keys
+    (keys are canonical <=62-bit k-mers, so all-ones never collides).
+    """
+
+    khi: np.ndarray       # uint32 [nb, 4]
+    klo: np.ndarray       # uint32 [nb, 4]
+    vals: np.ndarray      # int32  [nb, 4, V]
+    n_buckets: int
+    # retained for compatibility with older call sites; always 2
+    probe_len: int = 2
+
+    @property
+    def size(self) -> int:
+        return self.n_buckets * 4
+
+    @property
+    def used(self) -> np.ndarray:
+        return self.khi != _EMPTY_KEY
 
 
 def build_hash_table(keys: np.ndarray, vals: np.ndarray) -> HashTable:
     """keys: uint64 [N] unique; vals: int32 [N, V]."""
     n = len(keys)
-    V = vals.shape[1] if vals.ndim == 2 else 1
-    # load factor <= 0.25: device lookups scan probe_len slots
-    # unconditionally, so short max displacement beats dense memory
-    S = 1 << max(4, int(np.ceil(np.log2(max(1, 4 * n)))))
-    khi = np.zeros(S, np.uint32)
-    klo = np.zeros(S, np.uint32)
-    used = np.zeros(S, bool)
-    out_vals = np.zeros((S, V), np.int32)
-    if n == 0:
-        return HashTable(khi, klo, used, out_vals, 1, S)
-    hi, lo = split64(keys)
-    probe = (mix32(hi, lo) & np.uint32(S - 1)).astype(np.int64)
-    remaining = np.arange(n)
-    disp = np.zeros(n, np.int64)
-    max_disp = 0
-    while len(remaining):
-        cur = probe[remaining]
-        # first-writer-wins claim: last store wins, so iterate in reverse
-        # order so that the lowest-index key claims each slot (any
-        # deterministic winner is fine — layout carries no semantics)
-        claim = np.full(S, -1, np.int64)
-        claim[cur[::-1]] = remaining[::-1]
-        won = (claim[cur] == remaining) & ~used[cur]
-        winners = remaining[won]
-        wslots = cur[won]
-        used[wslots] = True
-        khi[wslots] = hi[winners]
-        klo[wslots] = lo[winners]
-        out_vals[wslots] = vals[winners]
-        max_disp = max(max_disp, int(disp[winners].max(initial=0)))
-        remaining = remaining[~won]
-        probe[remaining] = (probe[remaining] + 1) & (S - 1)
-        disp[remaining] += 1
-    return HashTable(khi, klo, used, out_vals, max_disp + 1, S)
+    vals = np.asarray(vals, np.int32)
+    if vals.ndim == 1:
+        vals = vals[:, None]
+    V = vals.shape[1]
+    nb = 1 << max(2, int(np.ceil(np.log2(max(1, n / 2)))))
+    hi, lo = split64(np.asarray(keys, np.uint64))
+    while True:
+        khi = np.full((nb, 4), _EMPTY_KEY, np.uint32)
+        klo = np.full((nb, 4), _EMPTY_KEY, np.uint32)
+        out_vals = np.zeros((nb, 4, V), np.int32)
+        if n == 0:
+            return HashTable(khi, klo, out_vals, nb)
+        mask = np.uint32(nb - 1)
+        h1 = (mix32(hi, lo) & mask).astype(np.int64)
+        h2 = (mix32b(hi, lo) & mask).astype(np.int64)
+        remaining = np.arange(n)
+        ok = True
+        for attempt in (h1, h2):
+            for s in range(4):
+                if not len(remaining):
+                    break
+                cur = attempt[remaining]
+                free = khi[cur, s] == _EMPTY_KEY
+                claim = np.full(nb, -1, np.int64)
+                claim[cur[::-1]] = remaining[::-1]
+                won = (claim[cur] == remaining) & free
+                w = remaining[won]
+                b = cur[won]
+                khi[b, s] = hi[w]
+                klo[b, s] = lo[w]
+                out_vals[b, s] = vals[w]
+                remaining = remaining[~won]
+        if len(remaining) == 0:
+            return HashTable(khi, klo, out_vals, nb)
+        # both candidate buckets full for some key (vanishingly rare at
+        # load <= 0.5): double and retry
+        nb <<= 1
+
+
+def ht_find_host(tbl: HashTable, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """Numpy mirror of the device lookup: flat slot (bucket*4 + s) per
+    query, or -1.  Index `tbl.vals.reshape(-1, V)` with the result."""
+    hi = np.asarray(hi, np.uint32)
+    lo = np.asarray(lo, np.uint32)
+    mask = np.uint32(tbl.n_buckets - 1)
+    res = np.full(hi.shape, -1, np.int64)
+    for hfn in (mix32, mix32b):
+        b = (hfn(hi, lo) & mask).astype(np.int64)
+        ok = (tbl.khi[b] == hi[..., None]) & (tbl.klo[b] == lo[..., None])
+        s = ok.argmax(axis=-1)
+        res = np.where((res < 0) & ok.any(axis=-1), b * 4 + s, res)
+    return res
 
 
 def pack_words(codes: np.ndarray) -> np.ndarray:

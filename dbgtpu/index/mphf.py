@@ -32,8 +32,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..engine.kmer32 import mix32, split64
-from .device import HashTable, build_hash_table
+from ..engine.kmer32 import mix32, mix32b, split64
+from .device import HashTable, build_hash_table, ht_find_host
 
 NOT_FOUND = np.int64(-1)
 
@@ -102,12 +102,13 @@ class MPHF:
         if self.final_tbl is not None:
             pending = res == NOT_FOUND
             if pending.any():
-                slots = _ht_find_host(
+                slots = ht_find_host(
                     self.final_tbl, hi[pending], lo[pending]
                 )
+                flat = self.final_tbl.vals.reshape(-1)
                 vals = np.where(
                     slots >= 0,
-                    self.final_tbl.vals[np.maximum(slots, 0), 0].astype(np.int64),
+                    flat[np.maximum(slots, 0)].astype(np.int64),
                     NOT_FOUND,
                 )
                 res[pending] = vals
@@ -140,10 +141,7 @@ class MPHF:
         )
         if self.final_tbl is not None:
             t = self.final_tbl
-            d.update(
-                f_khi=t.khi, f_klo=t.klo, f_used=t.used, f_vals=t.vals,
-                f_probe=t.probe_len, f_size=t.size,
-            )
+            d.update(f_khi=t.khi, f_klo=t.klo, f_vals=t.vals)
         np.savez_compressed(path, **d)
 
     @classmethod
@@ -152,8 +150,7 @@ class MPHF:
         final = None
         if "f_khi" in z:
             final = HashTable(
-                z["f_khi"], z["f_klo"], z["f_used"], z["f_vals"],
-                int(z["f_probe"]), int(z["f_size"]),
+                z["f_khi"], z["f_klo"], z["f_vals"], z["f_khi"].shape[0]
             )
         return cls(
             n_keys=int(z["n_keys"]), gamma=float(z["gamma"]),
@@ -168,19 +165,8 @@ class MPHF:
         bits = int(self.words.size) * 32 + int(self.samples.size) * 32
         if self.final_tbl is not None:
             t = self.final_tbl
-            bits += t.size * (32 + 32 + 8 + 32 * t.vals.shape[1])
+            bits += t.size * (32 + 32 + 32 * t.vals.shape[-1])
         return bits
-
-
-def _ht_find_host(tbl: HashTable, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
-    S = tbl.size
-    h = (mix32(hi, lo) & np.uint32(S - 1)).astype(np.int64)
-    res = np.full(len(hi), -1, dtype=np.int64)
-    for p in range(tbl.probe_len):
-        idx = (h + p) & (S - 1)
-        ok = tbl.used[idx] & (tbl.khi[idx] == hi) & (tbl.klo[idx] == lo)
-        res = np.where((res < 0) & ok, idx, res)
-    return res
 
 
 def build_mphf(
@@ -299,20 +285,20 @@ def device_lookup(arrs: dict, qhi, qlo):
         hit = (res < 0) & (bit == jnp.uint32(1))
         res = jnp.where(hit, rank, res)
     if meta["has_final"]:
-        S = meta["final_size"]
-        h = (mix32(qhi, qlo) & jnp.uint32(S - 1)).astype(jnp.int32)
+        nb = meta["final_nb"]
+        mask = jnp.uint32(nb - 1)
         fslot = jnp.full(qhi.shape, -1, jnp.int32)
-        for p in range(meta["final_probe"]):
-            idx = (h + p) & jnp.int32(S - 1)
-            ok = (
-                arrs["f_used"][idx]
-                & (arrs["f_khi"][idx] == qhi)
-                & (arrs["f_klo"][idx] == qlo)
+        for hfn in (mix32, mix32b):
+            b = (hfn(qhi, qlo) & mask).astype(jnp.int32)
+            ok = (arrs["f_khi"][b] == qhi[..., None]) & (
+                arrs["f_klo"][b] == qlo[..., None]
             )
-            fslot = jnp.where((fslot < 0) & ok, idx, fslot)
+            s = jnp.argmax(ok, axis=-1).astype(jnp.int32)
+            hit = jnp.any(ok, axis=-1)
+            fslot = jnp.where((fslot < 0) & hit, b * 4 + s, fslot)
         fval = jnp.where(
             fslot >= 0,
-            arrs["f_vals"][jnp.maximum(fslot, 0), 0],
+            arrs["f_vals"][jnp.maximum(fslot, 0)],
             -1,
         )
         res = jnp.where(res < 0, fval, res)
@@ -333,15 +319,13 @@ def to_device_arrays(m: MPHF) -> dict:
             "sample_off": [int(x) for x in m.sample_off],
             "rank_base": [int(x) for x in m.rank_base],
             "has_final": m.final_tbl is not None,
-            "final_size": m.final_tbl.size if m.final_tbl else 0,
-            "final_probe": m.final_tbl.probe_len if m.final_tbl else 0,
+            "final_nb": m.final_tbl.n_buckets if m.final_tbl else 0,
         },
     }
     if m.final_tbl is not None:
         arrs.update(
             f_khi=jnp.asarray(m.final_tbl.khi),
             f_klo=jnp.asarray(m.final_tbl.klo),
-            f_used=jnp.asarray(m.final_tbl.used),
-            f_vals=jnp.asarray(m.final_tbl.vals),
+            f_vals=jnp.asarray(m.final_tbl.vals.reshape(-1)),
         )
     return arrs

@@ -7,7 +7,7 @@ import pytest
 from dbgtpu import seq
 from dbgtpu.engine import kmer32
 from dbgtpu.index.build import build_graph_from_seqs
-from dbgtpu.index.device import build_device_index, build_hash_table
+from dbgtpu.index.device import build_device_index, build_hash_table, ht_find_host
 from dbgtpu.pipeline import run_pipeline
 
 from . import oracle, synth
@@ -40,25 +40,15 @@ def test_hash_table_exact_dict():
     keys = np.unique(rng.integers(0, 2**62, size=5000, dtype=np.uint64))
     vals = rng.integers(1, 100, size=(len(keys), 8)).astype(np.int32)
     t = build_hash_table(keys, vals)
-    # every key findable within probe_len
+    # every key findable via the two-choice host lookup
     hi, lo = kmer32.split64(keys)
-    h = (kmer32.mix32(hi, lo) & np.uint32(t.size - 1)).astype(np.int64)
-    found = np.full(len(keys), -1, np.int64)
-    for p in range(t.probe_len):
-        idx = (h + p) & (t.size - 1)
-        ok = t.used[idx] & (t.khi[idx] == hi) & (t.klo[idx] == lo)
-        found = np.where((found < 0) & ok, idx, found)
+    found = ht_find_host(t, hi, lo)
     assert (found >= 0).all()
-    np.testing.assert_array_equal(t.vals[found], vals)
+    np.testing.assert_array_equal(t.vals.reshape(-1, 8)[found], vals)
     # absent keys never match
     absent = rng.integers(2**62, 2**63, size=1000, dtype=np.uint64)
     ahi, alo = kmer32.split64(absent)
-    h = (kmer32.mix32(ahi, alo) & np.uint32(t.size - 1)).astype(np.int64)
-    hit = np.zeros(len(absent), bool)
-    for p in range(t.probe_len):
-        idx = (h + p) & (t.size - 1)
-        hit |= t.used[idx] & (t.khi[idx] == ahi) & (t.klo[idx] == alo)
-    assert not hit.any()
+    assert (ht_find_host(t, ahi, alo) < 0).all()
 
 
 def _paths_by_engine(reads_fa, unitigs_fa, k, m, effort, tmp_path, impl,
