@@ -121,24 +121,28 @@ def main() -> int:
         chk = jnp.sum(res["offset"]) + jnp.sum(res["llen"] + res["rlen"])
         return aligned.astype(jnp.int32), chk.astype(jnp.int32)
 
-    # warmup / compile
+    # warmup / compile.  NOTE: on the axon platform block_until_ready
+    # can return before the computation finishes; a host copy of an
+    # output is the only reliable completion fence, so every timed rep
+    # ends with np.asarray of the per-batch scalars.
     t0 = time.monotonic()
     a, c = step(batches[0])
-    jax.block_until_ready((a, c))
+    a, c = np.asarray(a), np.asarray(c)
     log(f"compile+first batch: {time.monotonic() - t0:.1f}s")
 
-    best = 0.0
+    rates = []
     aligned_total = 0
     for rep in range(TIMED_REPS):
         t0 = time.monotonic()
         outs = [step(b) for b in batches]
-        jax.block_until_ready(outs)
+        outs = [(np.asarray(a), np.asarray(c)) for a, c in outs]
         dt = time.monotonic() - t0
         rps = n_reads / dt
         aligned_total = int(sum(int(a) for a, _ in outs))
         log(f"rep {rep}: {dt * 1e3:.0f} ms for {n_reads} reads "
             f"-> {rps:,.0f} reads/s ({aligned_total} aligned)")
-        best = max(best, rps)
+        rates.append(rps)
+    best = sorted(rates)[len(rates) // 2]  # median, robust + honest
 
     frac = aligned_total / n_reads
     if frac < 0.5:

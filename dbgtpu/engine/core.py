@@ -9,12 +9,25 @@ Design (not a translation of the reference's recursion):
     LEFT (extend toward read start), RIGHT_FIRST (anchor step of the
     right extension, junction chars trusted), RIGHT_CONT (subsequent
     right steps, junction chars compared), DONE,
-  - per junction step: one canonical hash-table lookup -> up to 4
-    candidate unitigs -> windowed Hamming compare [B, 4, L] against the
+  - per junction step: one single-hash bucket lookup -> up to 4
+    candidate unitigs -> windowed Hamming compare [B, 4, W] against the
     read -> argmin with earliest-index tie-break (equivalent to the
     reference's selection logic, see model.py) -> state update,
   - kmers are (hi, lo) uint32 pairs (no 64-bit integer ALU on TPU),
   - everything is static-shaped; reads that finish early are masked.
+
+TPU memory-access discipline (measured on v5e): a gather of ROWS — a
+[B] index vector into an [N, W] table — sustains >100M rows/s, while
+element gathers (1D tables, 3D index arrays, take_along_axis) run
+near-scalar (~0.13 elem/cycle).  Every hot lookup here is therefore a
+row gather into a wide-row table, and every windowed extraction is an
+elementwise masked log-roll + funnel shift, never a per-element gather:
+  - junction membership/lookup: ONE row gather into the single-hash
+    8-slot ScanTable ([nb, 16] key rows),
+  - candidate metadata: row gathers into umeta [U+1, 16],
+  - sequence windows: row gathers into overlapping 128-base pool chunk
+    rows (fwd + RC copies), aligned in-register,
+  - RC read images / mirrored anchor scans: flip + masked log-roll.
 
 Semantics are cross-checked against dbgtpu.model (the executable spec)
 and transitively against the compiled reference binary.
@@ -36,18 +49,20 @@ from ..constants import (
     STATUS_NO_OVERLAP_FWD,
     STATUS_RC_NO_OVERLAP,
 )
-from .kmer32 import mix32, mix32b, pair_le, rcb_pair, rev2_32
+from .kmer32 import mix32, pair_le, rcb_pair
 
 # phases
 _FETCH, _LEFT, _RFIRST, _RCONT, _DONE = 0, 1, 2, 3, 4
 _BIG = np.int32(1 << 30)
 _LANE_LO = np.uint32(0x55555555)
 _FULL32 = np.uint32(0xFFFFFFFF)
+_CHUNK_SHIFT = 7            # log2(index.device.CHUNK_BASES)
 
 
-def _pack_rows(vals32):
-    """[B, L] uint32 2-bit values -> [B, ceil(L/16)+1] uint32 words,
-    value at position i in bits 2*(i%16) of word i//16; one guard word."""
+def _pack_rows(vals32, out_words: int = 0):
+    """[B, L] uint32 2-bit values -> [B, W] uint32 words, value at
+    position i in bits 2*(i%16) of word i//16; zero-padded to
+    `out_words` (>= ceil(L/16)+1) so rolled windows stay in bounds."""
     B, L = vals32.shape
     Lw = (L + 15) // 16
     pad = Lw * 16 - L
@@ -56,7 +71,10 @@ def _pack_rows(vals32):
     lanes = vals32.reshape(B, Lw, 16)
     shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
     words = jnp.sum(lanes << shifts, axis=2, dtype=jnp.uint32)
-    return jnp.concatenate([words, jnp.zeros((B, 1), jnp.uint32)], axis=1)
+    out_words = max(out_words, Lw + 1)
+    return jnp.concatenate(
+        [words, jnp.zeros((B, out_words - Lw), jnp.uint32)], axis=1
+    )
 
 
 def _funnel(w0, w1, sh):
@@ -67,56 +85,73 @@ def _funnel(w0, w1, sh):
     return (w0 >> sh) | hi
 
 
+def _roll_left(x, sh, max_sh: int):
+    """Per-row left roll of the last axis by `sh` (broadcasts over
+    x[..., W]): log2(max_sh) masked static rolls — pure elementwise
+    VPU work, the TPU-fast replacement for take_along_axis windowing.
+    Wrapped-around tail values are garbage; callers mask beyond the
+    window they extract."""
+    sh = sh.astype(jnp.int32)
+    bit, amt = 0, 1
+    while amt <= max_sh:
+        cond = ((sh >> bit) & 1) == 1
+        x = jnp.where(cond[..., None], jnp.roll(x, -amt, axis=-1), x)
+        bit += 1
+        amt <<= 1
+    return x
+
+
 class IndexArrays(NamedTuple):
     """Device-side view of DeviceIndex (all jnp arrays)."""
 
-    tbl_khi: jax.Array      # uint32 [nb, 4] bucketed keys (hi)
-    tbl_klo: jax.Array      # uint32 [nb, 4]
-    tbl_vals: jax.Array     # int32  [nb*4, 8] left4 | right4
-    pool_words: jax.Array   # uint32, 16 bases/word (2-bit packed)
-    uoff: jax.Array         # int32 [U+1]
-    ulen: jax.Array         # int32 [U+1]
-    ubeg_hi: jax.Array
-    ubeg_lo: jax.Array
-    uend_hi: jax.Array
-    uend_lo: jax.Array
-    rcbeg_hi: jax.Array
-    rcbeg_lo: jax.Array
-    rcend_hi: jax.Array
-    rcend_lo: jax.Array
+    st_keys: jax.Array      # uint32 [nb, 16] 8 slot keys (hi x8 | lo x8)
+    st_vals: jax.Array      # int32  [nb*8, 8] left4 | right4
+    st_seed: jax.Array      # uint32 [] bucket-hash seed
+    umeta: jax.Array        # int32  [U+1, 16] per-unitig metadata row
+    pool_rows: jax.Array    # uint32 [2*nc, RW] fwd then rc chunk rows
+    n_chunks: jax.Array     # int32  [] fwd row count (rc rows follow)
+
+
+# umeta column layout (index.device.build_device_index)
+_C_UOFF, _C_ULEN = 0, 1
+_C_BEG_HI, _C_BEG_LO, _C_END_HI, _C_END_LO = 2, 3, 4, 5
+_C_RCB_HI, _C_RCB_LO, _C_RCE_HI, _C_RCE_LO = 6, 7, 8, 9
 
 
 def index_to_device(di) -> IndexArrays:
     """DeviceIndex (numpy) -> IndexArrays (jnp)."""
-    t = di.tbl
+    t = di.scan_tbl
     return IndexArrays(
-        tbl_khi=jnp.asarray(t.khi), tbl_klo=jnp.asarray(t.klo),
-        tbl_vals=jnp.asarray(t.vals.reshape(-1, t.vals.shape[-1])),
-        pool_words=jnp.asarray(di.pool_words),
-        uoff=jnp.asarray(di.uoff), ulen=jnp.asarray(di.ulen),
-        ubeg_hi=jnp.asarray(di.ubeg_hi), ubeg_lo=jnp.asarray(di.ubeg_lo),
-        uend_hi=jnp.asarray(di.uend_hi), uend_lo=jnp.asarray(di.uend_lo),
-        rcbeg_hi=jnp.asarray(di.rcbeg_hi), rcbeg_lo=jnp.asarray(di.rcbeg_lo),
-        rcend_hi=jnp.asarray(di.rcend_hi), rcend_lo=jnp.asarray(di.rcend_lo),
+        st_keys=jnp.asarray(t.keys),
+        st_vals=jnp.asarray(t.vals),
+        st_seed=jnp.uint32(t.seed),
+        umeta=jnp.asarray(di.umeta),
+        pool_rows=jnp.asarray(di.pool_rows),
+        n_chunks=jnp.int32(di.n_chunks),
     )
 
 
-def _ht_find(ix: IndexArrays, qhi, qlo):
-    """Flat slot index (bucket*4 + s) of (qhi, qlo) in the two-choice
-    bucketed junction table, or -1.  Exactly two 4-slot bucket-row
-    gathers per key array (lookups are gather-throughput bound)."""
-    nb = ix.tbl_khi.shape[0]
+def _st_rows(ix: IndexArrays, qhi, qlo):
+    """Bucket key rows + slot matches for (qhi, qlo): ONE row gather.
+    Returns (ok [..., 8] slot match mask, bucket [...])."""
+    nb = ix.st_keys.shape[0]
     mask = jnp.uint32(nb - 1)
-    slot = jnp.full(qhi.shape, -1, jnp.int32)
-    for hfn in (mix32, mix32b):
-        b = (hfn(qhi, qlo) & mask).astype(jnp.int32)
-        rk_hi = ix.tbl_khi[b]            # [..., 4]
-        rk_lo = ix.tbl_klo[b]
-        ok = (rk_hi == qhi[..., None]) & (rk_lo == qlo[..., None])
-        s = jnp.argmax(ok, axis=-1).astype(jnp.int32)
-        hit = jnp.any(ok, axis=-1)
-        slot = jnp.where((slot < 0) & hit, b * 4 + s, slot)
-    return slot
+    b = (mix32(qhi ^ ix.st_seed, qlo) & mask).astype(jnp.int32)
+    row = ix.st_keys[b]                      # [..., 16]
+    ok = (row[..., 0:8] == qhi[..., None]) & (row[..., 8:16] == qlo[..., None])
+    return ok, b
+
+
+def _st_member(ix: IndexArrays, qhi, qlo):
+    ok, _ = _st_rows(ix, qhi, qlo)
+    return jnp.any(ok, axis=-1)
+
+
+def _st_slot(ix: IndexArrays, qhi, qlo):
+    """Flat slot (bucket*8 + s) or -1."""
+    ok, b = _st_rows(ix, qhi, qlo)
+    s = jnp.argmax(ok, axis=-1).astype(jnp.int32)
+    return jnp.where(jnp.any(ok, axis=-1), b * 8 + s, -1)
 
 
 def _scan_kmer_pairs(codes32, n: int, complement: bool):
@@ -143,25 +178,39 @@ def _scan_kmer_pairs(codes32, n: int, complement: bool):
     return hi, lo
 
 
-def _first_k_hits(member, values_hi, values_lo, positions, E: int):
-    """First E True positions per row (+ the value pairs there).
-    positions[b, i] gives the reported position for scan index i."""
+def _first_k_hits(member, values_hi, values_lo, E: int):
+    """First E True positions per row (+ the value pairs there) via
+    masked sums — each selector mask has at most one True per row, so a
+    row reduction replaces the near-scalar take_along_axis gather."""
+    Lk = member.shape[1]
+    scan_col = jnp.arange(Lk, dtype=jnp.int32)[None, :]
     cum = jnp.cumsum(member.astype(jnp.int32), axis=1)
     n = jnp.minimum(cum[:, -1], E)
     pos_list, hi_list, lo_list = [], [], []
-    Bidx = jnp.arange(member.shape[0])
     for e in range(E):
-        hit = (cum == e + 1) & member
-        i = jnp.argmax(hit, axis=1)
-        pos_list.append(positions[Bidx, i])
-        hi_list.append(values_hi[Bidx, i])
-        lo_list.append(values_lo[Bidx, i])
+        hm = (cum == e + 1) & member
+        pos_list.append(
+            jnp.sum(jnp.where(hm, scan_col, 0), axis=1).astype(jnp.int32)
+        )
+        hi_list.append(jnp.sum(jnp.where(hm, values_hi, jnp.uint32(0)),
+                               axis=1, dtype=jnp.uint32))
+        lo_list.append(jnp.sum(jnp.where(hm, values_lo, jnp.uint32(0)),
+                               axis=1, dtype=jnp.uint32))
     return (
-        jnp.stack(pos_list, axis=1).astype(jnp.int32),
+        jnp.stack(pos_list, axis=1),
         jnp.stack(hi_list, axis=1),
         jnp.stack(lo_list, axis=1),
         n.astype(jnp.int32),
     )
+
+
+def _pick(arrs, j, n: int):
+    """arrs[:, j] for per-row j in [0, n) as an unrolled where-chain
+    (elementwise; avoids take_along_axis)."""
+    out = arrs[:, 0]
+    for c in range(1, n):
+        out = jnp.where(j == c, arrs[:, c], out)
+    return out
 
 
 def pack_paths(res: dict, pmax: int):
@@ -199,7 +248,7 @@ def align_batch(
     k: int,
     m: int,
     effort: int,
-    probe_len: int,
+    probe_len: int = 0,   # vestigial (old two-choice layout); ignored
     max_iters: int = 0,
     pmax: int = 0,
 ):
@@ -207,6 +256,10 @@ def align_batch(
     B, L = codes.shape
     k1 = k - 1
     Lk = L - k1 + 1
+    Lw = (L + 15) // 16     # read words
+    W2 = Lw                 # compare words (window w <= L bases)
+    RWr = 2 * Lw + 1        # packed read-row words (roll headroom)
+    RW = ix.pool_rows.shape[1]
     E = effort
     P = L  # path buffer bound: every junction step advances >= 1 base
     if max_iters == 0:
@@ -216,21 +269,20 @@ def align_batch(
     codes32 = codes.astype(jnp.uint32)
     col = jnp.arange(L, dtype=jnp.int32)[None, :]
 
-    # ---- reverse-complement read image (RC('N') == 'A' == 3 - code) ----
-    ridx = lens[:, None] - 1 - col
-    rc_codes = jnp.where(
-        ridx >= 0,
-        jnp.uint32(3) - jnp.take_along_axis(
-            codes32, jnp.clip(ridx, 0, L - 1), axis=1
-        ),
+    # ---- reverse-complement read image (flip + masked log-roll;
+    #      RC('N') == 'A' == 3 - code) ----
+    lshift = (jnp.int32(L) - lens)[:, None]          # [B, 1]
+    flipped = jnp.flip(codes32, axis=1)
+    rc32 = jnp.where(
+        col < lens[:, None],
+        jnp.uint32(3) - _roll_left(flipped, lshift[:, 0], L - 1),
         0,
-    ).astype(jnp.uint8)
-    rc32 = rc_codes.astype(jnp.uint32)
+    )
 
     # packed (16 bases/word) images for the junction compare
-    rwf = _pack_rows(codes32)
-    rwr = _pack_rows(rc32)
-    nmw = _pack_rows(nmask.astype(jnp.uint32))
+    rwf = _pack_rows(codes32, RWr)
+    rwr = _pack_rows(rc32, RWr)
+    nmw = _pack_rows(nmask.astype(jnp.uint32), RWr)
 
     # ---- anchor scan ----
     # std: N encodes 3 throughout; buggy: rolled-in N encodes 0
@@ -246,34 +298,26 @@ def align_batch(
     le1 = pair_le(bug_hi, bug_lo, rcs_hi, rcs_lo)
     rep1_hi = jnp.where(le1, bug_hi, rcs_hi)
     rep1_lo = jnp.where(le1, bug_lo, rcs_lo)
-    member1 = (_ht_find(ix, rep1_hi, rep1_lo) >= 0) & valid
+    member1 = _st_member(ix, rep1_hi, rep1_lo) & valid
 
     def _member2():
         le2 = pair_le(std_hi, std_lo, rcs_hi, rcs_lo)
         r_hi = jnp.where(le2, std_hi, rcs_hi)
         r_lo = jnp.where(le2, std_lo, rcs_lo)
-        return (_ht_find(ix, r_hi, r_lo) >= 0) & valid
-
+        return _st_member(ix, r_hi, r_lo) & valid
     member2 = jax.lax.cond(jnp.any(nmask), _member2, lambda: member1)
 
     # forward anchors: first E member1 hits, values = buggy fwd kmer
-    apos_f, ahi_f, alo_f, n_fwd = _first_k_hits(
-        member1, bug_hi, bug_lo,
-        jnp.broadcast_to(scan_col, member1.shape), E,
-    )
-    # rc anchors: scan the RC read = mirrored positions of member2;
-    # kmer value at rc position i is rc_std at fwd position len-k1-i
-    mir = (lens - k1)[:, None] - scan_col  # [B, Lk]
-    mirc = jnp.clip(mir, 0, Lk - 1)
-    member_rc = jnp.take_along_axis(member2, mirc, axis=1) & (mir >= 0)
-    vr_hi = jnp.take_along_axis(rcs_hi, mirc, axis=1)
-    vr_lo = jnp.take_along_axis(rcs_lo, mirc, axis=1)
-    apos_r, ahi_r, alo_r, n_rc = _first_k_hits(
-        member_rc, vr_hi, vr_lo,
-        jnp.broadcast_to(scan_col, member_rc.shape), E,
-    )
+    apos_f, ahi_f, alo_f, n_fwd = _first_k_hits(member1, bug_hi, bug_lo, E)
 
-    Bidx = jnp.arange(B, dtype=jnp.int32)
+    # rc anchors: scanning the RC read visits fwd position len-k1-i at
+    # rc position i, with kmer value rc_std of that fwd position.
+    # mirror = flip + masked roll-left by (L - lens) (elementwise).
+    rsh = lshift[:, 0]
+    member_rc = _roll_left(jnp.flip(member2, axis=1), rsh, L - 1) & valid
+    vr_hi = _roll_left(jnp.flip(rcs_hi, axis=1), rsh, L - 1)
+    vr_lo = _roll_left(jnp.flip(rcs_lo, axis=1), rsh, L - 1)
+    apos_r, ahi_r, alo_r, n_rc = _first_k_hits(member_rc, vr_hi, vr_lo, E)
 
     state = dict(
         phase=jnp.full((B,), _FETCH, jnp.int32),
@@ -294,6 +338,7 @@ def align_batch(
         rbuf=jnp.zeros((B, P), jnp.int32),
         iters=jnp.zeros((), jnp.int32),
     )
+    Bidx = jnp.arange(B, dtype=jnp.int32)
 
     def bookkeep(s):
         phase, orient, aidx = s["phase"], s["orient"], s["aidx"]
@@ -311,10 +356,14 @@ def align_batch(
 
         ai = jnp.clip(aidx, 0, E - 1)
         sel_pos = jnp.where(
-            orient == 0, apos_f[Bidx, ai], apos_r[Bidx, ai]
+            orient == 0, _pick(apos_f, ai, E), _pick(apos_r, ai, E)
         )
-        sel_hi = jnp.where(orient == 0, ahi_f[Bidx, ai], ahi_r[Bidx, ai])
-        sel_lo = jnp.where(orient == 0, alo_f[Bidx, ai], alo_r[Bidx, ai])
+        sel_hi = jnp.where(
+            orient == 0, _pick(ahi_f, ai, E), _pick(ahi_r, ai, E)
+        )
+        sel_lo = jnp.where(
+            orient == 0, _pick(alo_f, ai, E), _pick(alo_r, ai, E)
+        )
 
         s = dict(s)
         s["status"] = jnp.where(
@@ -371,20 +420,27 @@ def align_batch(
         is_canon = pair_le(bhi, blo, rhi, rlo)
         chi = jnp.where(is_canon, bhi, rhi)
         clo = jnp.where(is_canon, blo, rlo)
-        slot = _ht_find(ix, chi, clo)
-        vals8 = ix.tbl_vals[jnp.maximum(slot, 0)]          # [B, 8]
+        slot = _st_slot(ix, chi, clo)
+        vals8 = ix.st_vals[jnp.maximum(slot, 0)]           # [B, 8]
         use_right = jnp.where(mL, is_canon, ~is_canon)
         cands = jnp.where(use_right[:, None], vals8[:, 4:8], vals8[:, 0:4])
         cands = jnp.where((slot >= 0)[:, None], cands, 0)   # [B, 4]
         valid_c = cands > 0
 
+        # candidate metadata: one [B,4]-indexed row gather
+        meta = jax.lax.bitcast_convert_type(
+            ix.umeta[cands], jnp.uint32
+        )                                                   # [B,4,16]
+        uoffc = meta[..., _C_UOFF].astype(jnp.int32)
+        ul = meta[..., _C_ULEN].astype(jnp.int32)
+
         # orientation: LEFT wants unitigs ENDING with bin, RIGHT wants
         # unitigs BEGINNING with bin; forward iff that extremity matches
-        ext_hi = jnp.where(mL[:, None], ix.uend_hi[cands], ix.ubeg_hi[cands])
-        ext_lo = jnp.where(mL[:, None], ix.uend_lo[cands], ix.ubeg_lo[cands])
+        ext_hi = jnp.where(mL[:, None], meta[..., _C_END_HI],
+                           meta[..., _C_BEG_HI])
+        ext_lo = jnp.where(mL[:, None], meta[..., _C_END_LO],
+                           meta[..., _C_BEG_LO])
         is_fwd = (ext_hi == bhi[:, None]) & (ext_lo == blo[:, None])
-        ul = ix.ulen[cands]
-        uoffc = ix.uoff[cands]
 
         rem = jnp.where(mL, pos, jnp.where(mRF, lens - pos - k1, lens - pos))
         remc = rem[:, None]
@@ -405,45 +461,38 @@ def align_batch(
             jnp.where((mL | mRF)[:, None], ul - k1, jnp.minimum(ul, remc)),
         )
 
-        # windowed compare, 2-bit packed: XOR + popcount on 16-base
-        # word lanes (SURVEY.md §7.1 kernel (c)).  Forward candidates
-        # stream pool words ascending; RC candidates stream descending
-        # with lanes reversed + complemented (rev2_32 of ~word).
-        orient = s["orient"]
-        W = (L + 15) // 16 + 1  # output words: window <= L lanes + spill
-        jarr = jnp.arange(W + 1, dtype=jnp.int32)[None, None, :]
-        p = uoffc + ustart                # [B,4] fwd base pool index
-        q = uoffc + ul - 1 - ustart       # [B,4] rc base pool index
-        base_w = jnp.where(is_fwd, p >> 4, q >> 4)
-        widx = jnp.where(
-            is_fwd[:, :, None], base_w[:, :, None] + jarr,
-            base_w[:, :, None] - jarr,
+        # ---- windowed compare: row gathers + in-register alignment.
+        # Candidate side: the chunk row fully covers [ustart, ustart+w)
+        # (w <= L <= halo); RC candidates read the rc pool copy, where
+        # window start ustart is already in RC coordinates.
+        g = uoffc + ustart                                  # [B,4]
+        row_idx = (g >> _CHUNK_SHIFT) + jnp.where(
+            is_fwd, 0, ix.n_chunks
         )
-        widx = jnp.clip(widx, 0, ix.pool_words.shape[0] - 1)
-        wds = ix.pool_words[widx]          # [B,4,W+1]
-        wds = jnp.where(
-            is_fwd[:, :, None], wds, rev2_32(wds ^ _FULL32)
-        )
-        sh_a = (
-            2 * jnp.where(is_fwd, p & 15, 15 - (q & 15))
-        ).astype(jnp.uint32)[:, :, None]
-        a = _funnel(wds[..., :-1], wds[..., 1:], sh_a)     # [B,4,W]
+        within = g & jnp.int32((1 << _CHUNK_SHIFT) - 1)
+        prow = ix.pool_rows[jnp.maximum(row_idx, 0)]        # [B,4,RW]
+        prow = _roll_left(prow, within >> 4,
+                          (1 << _CHUNK_SHIFT) // 16 - 1)
+        sh_a = (2 * (within & 15)).astype(jnp.uint32)[:, :, None]
+        a = _funnel(prow[..., :W2], prow[..., 1 : W2 + 1], sh_a)
 
+        # Read side: broadcast own packed row, roll to rstart.
+        orient = s["orient"]
         rw_cur = jnp.where((orient == 0)[:, None], rwf, rwr)
-        rw0 = rstart >> 4
-        ridxw = jnp.clip(rw0[:, :, None] + jarr, 0, rw_cur.shape[1] - 1)
-        bwds = jnp.take_along_axis(rw_cur[:, None, :], ridxw, axis=2)
+        brow = jnp.broadcast_to(rw_cur[:, None, :], (B, 4, RWr))
+        brow = _roll_left(brow, rstart >> 4, Lw - 1)
         sh_b = (2 * (rstart & 15)).astype(jnp.uint32)[:, :, None]
-        b = _funnel(bwds[..., :-1], bwds[..., 1:], sh_b)
-        nwds = jnp.take_along_axis(nmw[:, None, :], ridxw, axis=2)
-        nb = _funnel(nwds[..., :-1], nwds[..., 1:], sh_b)
+        b = _funnel(brow[..., :W2], brow[..., 1 : W2 + 1], sh_b)
+        nrow = jnp.broadcast_to(nmw[:, None, :], (B, 4, RWr))
+        nrow = _roll_left(nrow, rstart >> 4, Lw - 1)
+        nb = _funnel(nrow[..., :W2], nrow[..., 1 : W2 + 1], sh_b)
         nb = jnp.where((orient == 0)[:, None, None], nb, jnp.uint32(0))
 
         x = a ^ b
         mismw = ((x | (x >> 1)) & _LANE_LO) | nb
         v = jnp.clip(
             w[:, :, None]
-            - 16 * jnp.arange(W, dtype=jnp.int32)[None, None, :],
+            - 16 * jnp.arange(W2, dtype=jnp.int32)[None, None, :],
             0, 16,
         )
         lane_mask = jnp.where(
@@ -458,7 +507,7 @@ def align_batch(
         bestj = jnp.argmin(miss, axis=1).astype(jnp.int32)
 
         def sel(x):
-            return jnp.take_along_axis(x, bestj[:, None], axis=1)[:, 0]
+            return _pick(x, bestj, 4)
 
         best = sel(miss)
         cand_s = sel(cands)
@@ -487,6 +536,17 @@ def align_batch(
         s["rlen"] = s["rlen"] + push_r.astype(jnp.int32)
         s["budget"] = jnp.where(ok, s["budget"] - best, s["budget"])
 
+        # next-walk kmers for the selected candidate, from its meta row:
+        # LEFT : fwd -> begin kmer, rc -> rc(end kmer)
+        # RIGHT: fwd -> end kmer,   rc -> rc(begin kmer)
+        def fsel(c):
+            return sel(meta[..., c])
+
+        nxt_l_hi = jnp.where(fwd_s, fsel(_C_BEG_HI), fsel(_C_RCE_HI))
+        nxt_l_lo = jnp.where(fwd_s, fsel(_C_BEG_LO), fsel(_C_RCE_LO))
+        nxt_r_hi = jnp.where(fwd_s, fsel(_C_END_HI), fsel(_C_RCB_HI))
+        nxt_r_lo = jnp.where(fwd_s, fsel(_C_END_LO), fsel(_C_RCB_LO))
+
         # LEFT ended -> record offset, restart from anchor going right
         le = ok & mL & end_s
         s["offset"] = jnp.where(le, ust_s, s["offset"])
@@ -495,8 +555,6 @@ def align_batch(
         s["pos"] = jnp.where(le, s["a_pos"], s["pos"])
         # LEFT continue
         lc = ok & mL & ~end_s
-        nxt_l_hi = jnp.where(fwd_s, ix.ubeg_hi[cand_s], ix.rcend_hi[cand_s])
-        nxt_l_lo = jnp.where(fwd_s, ix.ubeg_lo[cand_s], ix.rcend_lo[cand_s])
         s["pos"] = jnp.where(lc, pos - (ul_s - k1), s["pos"])
         s["cur_hi"] = jnp.where(lc, nxt_l_hi, s["cur_hi"])
         s["cur_lo"] = jnp.where(lc, nxt_l_lo, s["cur_lo"])
@@ -508,8 +566,6 @@ def align_batch(
         s["status"] = jnp.where(re_, aligned_st, s["status"])
         # RIGHT continue
         rc_ = ok & (mRF | mRC) & ~end_s
-        nxt_r_hi = jnp.where(fwd_s, ix.uend_hi[cand_s], ix.rcbeg_hi[cand_s])
-        nxt_r_lo = jnp.where(fwd_s, ix.uend_lo[cand_s], ix.rcbeg_lo[cand_s])
         s["pos"] = jnp.where(rc_, pos + (ul_s - k1), s["pos"])
         s["cur_hi"] = jnp.where(rc_, nxt_r_hi, s["cur_hi"])
         s["cur_lo"] = jnp.where(rc_, nxt_r_lo, s["cur_lo"])

@@ -110,6 +110,85 @@ def ht_find_host(tbl: HashTable, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     return res
 
 
+@dataclass
+class ScanTable:
+    """Single-hash 8-slot bucketed table (TPU fast path).
+
+    A TPU gather of ROWS ([B] indices into an [N, W] table) runs ~100x
+    faster per element than element/point gathers, so the fast path
+    wants membership AND lookup to each be ONE row gather.  Each bucket
+    row packs its 8 slot keys as 16 uint32 lanes (cols 0-7 = key-hi,
+    cols 8-15 = key-lo); vals sit in a parallel [nb*8, V] row table.
+    The build searches seeds until no bucket holds > 8 keys (load
+    factor <= 1 makes overflow vanishingly rare; the size is doubled if
+    no seed works).  Exactness is preserved: full 62-bit keys are
+    compared on lookup, the same aliasing defense the reference uses
+    after MPHF lookup (aligner.cpp:158-169)."""
+
+    keys: np.ndarray      # uint32 [nb, 16]
+    vals: np.ndarray      # int32  [nb*8, V]
+    n_buckets: int
+    seed: int             # uint32 hash seed
+
+    @property
+    def size(self) -> int:
+        return self.n_buckets * 8
+
+
+def _scan_hash(hi, lo, seed):
+    """Bucket hash for ScanTable; bit-identical numpy/jnp (mix32)."""
+    return mix32(hi ^ seed, lo)
+
+
+def build_scan_table(keys: np.ndarray, vals: np.ndarray) -> ScanTable:
+    """keys: uint64 [N] unique; vals: int32 [N, V]."""
+    keys = np.asarray(keys, np.uint64)
+    vals = np.asarray(vals, np.int32)
+    if vals.ndim == 1:
+        vals = vals[:, None]
+    n, V = len(keys), vals.shape[1]
+    hi, lo = split64(keys)
+    nb = 1 << max(2, int(np.ceil(np.log2(max(1, n)))))
+    while True:
+        for attempt in range(16):
+            seed = np.uint32(0x9E3779B1) * np.uint32(attempt + 1)
+            if n == 0:
+                counts = np.zeros(nb, np.int64)
+                b = np.zeros(0, np.int64)
+            else:
+                b = (_scan_hash(hi, lo, seed) & np.uint32(nb - 1)).astype(
+                    np.int64
+                )
+                counts = np.bincount(b, minlength=nb)
+            if counts.max(initial=0) <= 8:
+                tkeys = np.full((nb, 16), _EMPTY_KEY, np.uint32)
+                tvals = np.zeros((nb * 8, V), np.int32)
+                if n:
+                    order = np.argsort(b, kind="stable")
+                    bs = b[order]
+                    start = np.zeros(nb + 1, np.int64)
+                    np.cumsum(counts, out=start[1:])
+                    slot = np.arange(n) - start[bs]
+                    tkeys[bs, slot] = hi[order]
+                    tkeys[bs, 8 + slot] = lo[order]
+                    tvals[bs * 8 + slot] = vals[order]
+                return ScanTable(tkeys, tvals, nb, int(seed))
+        nb <<= 1
+
+
+def st_find_host(tbl: ScanTable, hi, lo) -> np.ndarray:
+    """Numpy mirror of the device lookup: flat slot (bucket*8 + s) per
+    query, or -1."""
+    hi = np.asarray(hi, np.uint32)
+    lo = np.asarray(lo, np.uint32)
+    b = (_scan_hash(hi, lo, np.uint32(tbl.seed))
+         & np.uint32(tbl.n_buckets - 1)).astype(np.int64)
+    row = tbl.keys[b]                                   # [..., 16]
+    ok = (row[..., 0:8] == hi[..., None]) & (row[..., 8:16] == lo[..., None])
+    s = ok.argmax(axis=-1)
+    return np.where(ok.any(axis=-1), b * 8 + s, -1)
+
+
 def pack_words(codes: np.ndarray) -> np.ndarray:
     """2-bit codes -> uint32 words, 16 bases per word, base i at bit
     2*(i%16) of word i//16; padded with 2 guard words so device funnel
@@ -123,6 +202,42 @@ def pack_words(codes: np.ndarray) -> np.ndarray:
     shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
     words = (lanes << shifts).sum(axis=1, dtype=np.uint32)
     return np.concatenate([words, np.zeros(2, np.uint32)])
+
+
+CHUNK_BASES = 128          # pool chunk granularity (power of two)
+
+
+def build_pool_rows(pool_words: np.ndarray, n_bases: int,
+                    halo_bases: int) -> np.ndarray:
+    """Overlapping fixed-width chunk rows over a packed base pool.
+
+    Row r covers bases [128r, 128r + 128 + halo): any window of up to
+    `halo` bases starting anywhere inside chunk r lies fully within row
+    r, so a windowed compare is ONE row gather + an in-register shift
+    instead of a word-granular element gather (which TPUs execute
+    near-scalar).  +1 trailing word so funnel shifts can read word j+1.
+    """
+    n_chunks = max(1, (n_bases + CHUNK_BASES - 1) // CHUNK_BASES)
+    row_words = (CHUNK_BASES + halo_bases) // 16 + 1
+    idx = (CHUNK_BASES // 16) * np.arange(n_chunks)[:, None] + np.arange(
+        row_words
+    )[None, :]
+    ok = idx < len(pool_words)
+    return np.where(ok, pool_words[np.clip(idx, 0, len(pool_words) - 1)], 0)
+
+
+def build_rc_pool(pool: np.ndarray, offsets: np.ndarray,
+                  lengths: np.ndarray) -> np.ndarray:
+    """Per-unitig reverse-complemented pool at identical offsets:
+    rc_pool[uoff[u] : uoff[u]+ulen[u]] == RC(unitig u).  Window
+    arithmetic for RC candidates then reuses the forward offsets."""
+    P = len(pool)
+    if P == 0:
+        return pool.copy()
+    owner = np.repeat(np.arange(len(lengths)), lengths.astype(np.int64))
+    src = (2 * offsets[owner].astype(np.int64)
+           + lengths[owner].astype(np.int64) - 1) - np.arange(P)
+    return (3 - pool[src]).astype(np.uint8)
 
 
 @dataclass
@@ -150,9 +265,17 @@ class DeviceIndex:
     max_ulen: int
     # dog-mode anchor table (k-mers -> (unitig, offset)); may be empty
     anchor_tbl: HashTable | None = None
+    # ---- TPU fast-path layout (row-gather-only access patterns) ----
+    scan_tbl: ScanTable | None = None   # junction keys, 1 gather/lookup
+    umeta: np.ndarray | None = None     # int32 [U+1, 16] per-unitig row
+    pool_rows: np.ndarray | None = None  # uint32 [2*n_chunks, row_words]
+    n_chunks: int = 0                   # fwd rows; rc rows follow
+    halo_bases: int = 0                 # max window a chunk row covers
 
 
-def build_device_index(g: UnitigGraph) -> DeviceIndex:
+def build_device_index(
+    g: UnitigGraph, max_read_len: int = 256
+) -> DeviceIndex:
     from ..seq import rcb
 
     k1 = g.k - 1
@@ -165,6 +288,7 @@ def build_device_index(g: UnitigGraph) -> DeviceIndex:
         for j, uid in enumerate(g.right.get(key, [])[:4]):
             vals[i, 4 + j] = uid
     tbl = build_hash_table(keys, vals)
+    scan_tbl = build_scan_table(keys, vals)
 
     rcbeg = rcb(g.ubeg, k1)
     rcend = rcb(g.uend, k1)
@@ -181,17 +305,38 @@ def build_device_index(g: UnitigGraph) -> DeviceIndex:
         )
         anchor_tbl = build_hash_table(akeys, avals)
 
+    uoff = g.offsets.astype(np.int32)
+    ulen = g.lengths.astype(np.int32)
+    U1 = len(uoff)
+    umeta = np.zeros((U1, 16), np.int32)
+    for c, a in enumerate(
+        (uoff, ulen, ubeg_hi, ubeg_lo, uend_hi, uend_lo,
+         rcbeg_hi, rcbeg_lo, rcend_hi, rcend_lo)
+    ):
+        umeta[:, c] = a.view(np.int32) if a.dtype == np.uint32 else a
+
+    halo = max(256, ((max_read_len + 15) // 16) * 16)
+    pool_words = pack_words(g.pool)
+    fwd_rows = build_pool_rows(pool_words, len(g.pool), halo)
+    rc_words = pack_words(build_rc_pool(g.pool, g.offsets, g.lengths))
+    rc_rows = build_pool_rows(rc_words, len(g.pool), halo)
+
     return DeviceIndex(
         k=g.k,
         tbl=tbl,
         pool=g.pool,
-        pool_words=pack_words(g.pool),
-        uoff=g.offsets.astype(np.int32),
-        ulen=g.lengths.astype(np.int32),
+        pool_words=pool_words,
+        uoff=uoff,
+        ulen=ulen,
         ubeg_hi=ubeg_hi, ubeg_lo=ubeg_lo,
         uend_hi=uend_hi, uend_lo=uend_lo,
         rcbeg_hi=rcbeg_hi, rcbeg_lo=rcbeg_lo,
         rcend_hi=rcend_hi, rcend_lo=rcend_lo,
         max_ulen=int(g.lengths.max(initial=0)),
         anchor_tbl=anchor_tbl,
+        scan_tbl=scan_tbl,
+        umeta=umeta,
+        pool_rows=np.concatenate([fwd_rows, rc_rows], axis=0),
+        n_chunks=fwd_rows.shape[0],
+        halo_bases=halo,
     )
