@@ -41,15 +41,17 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import os
+_ABL = set(os.environ.get("DBGTPU_ABLATE", "").split(","))
 
-from ..constants import (
+from dbgtpu.constants import (
     STATUS_ALIGNED_FWD,
     STATUS_ALIGNED_RC,
     STATUS_FAILED,
     STATUS_NO_OVERLAP_FWD,
     STATUS_RC_NO_OVERLAP,
 )
-from .kmer32 import mix32, pair_le, rcb_pair
+from dbgtpu.engine.kmer32 import mix32, pair_le, rcb_pair
 
 # phases
 _FETCH, _LEFT, _RFIRST, _RCONT, _DONE = 0, 1, 2, 3, 4
@@ -237,9 +239,7 @@ def pack_paths(res: dict, pmax: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "k", "m", "effort", "probe_len", "max_iters", "pmax", "stage1_iters"
-    ),
+    static_argnames=("k", "m", "effort", "probe_len", "max_iters", "pmax"),
 )
 def align_batch(
     ix: IndexArrays,
@@ -253,7 +253,6 @@ def align_batch(
     probe_len: int = 0,   # vestigial (old two-choice layout); ignored
     max_iters: int = 0,
     pmax: int = 0,
-    stage1_iters: int = 6,
 ):
     """Align a batch.  Returns dict of per-read results."""
     B, L = codes.shape
@@ -265,8 +264,7 @@ def align_batch(
     RW = ix.pool_rows.shape[1]
     E = effort
     P = L  # path buffer bound: every junction step advances >= 1 base
-    uncapped = max_iters == 0
-    if uncapped:
+    if max_iters == 0:
         max_iters = 2 * E * 2 * L + 64
 
     lens = lens.astype(jnp.int32)
@@ -342,19 +340,9 @@ def align_batch(
         rbuf=jnp.zeros((B, P), jnp.int32),
         iters=jnp.zeros((), jnp.int32),
     )
+    Bidx = jnp.arange(B, dtype=jnp.int32)
 
-    # per-read constants the loop body needs; kept as an explicit dict
-    # so the tail stage can row-gather them for the compacted sub-batch
-    env = dict(
-        lens=lens, rwf=rwf, rwr=rwr, nmw=nmw,
-        apos_f=apos_f, ahi_f=ahi_f, alo_f=alo_f, n_fwd=n_fwd,
-        apos_r=apos_r, ahi_r=ahi_r, alo_r=alo_r, n_rc=n_rc,
-    )
-
-    def bookkeep(s, env):
-        lens, n_fwd, n_rc = env["lens"], env["n_fwd"], env["n_rc"]
-        apos_f, ahi_f, alo_f = env["apos_f"], env["ahi_f"], env["alo_f"]
-        apos_r, ahi_r, alo_r = env["apos_r"], env["ahi_r"], env["alo_r"]
+    def bookkeep(s):
         phase, orient, aidx = s["phase"], s["orient"], s["aidx"]
         # --- FETCH resolution ---
         is_f = phase == _FETCH
@@ -421,10 +409,7 @@ def align_batch(
         s["phase"] = jnp.where(fin, _DONE, s["phase"])
         return s
 
-    def junction(s, env):
-        lens, rwf, rwr, nmw = env["lens"], env["rwf"], env["rwr"], env["nmw"]
-        Bc = s["phase"].shape[0]
-        Bidx = jnp.arange(Bc, dtype=jnp.int32)
+    def junction(s):
         phase = s["phase"]
         mL = phase == _LEFT
         mRF = phase == _RFIRST
@@ -437,17 +422,24 @@ def align_batch(
         is_canon = pair_le(bhi, blo, rhi, rlo)
         chi = jnp.where(is_canon, bhi, rhi)
         clo = jnp.where(is_canon, blo, rlo)
-        slot = _st_slot(ix, chi, clo)
-        vals8 = ix.st_vals[jnp.maximum(slot, 0)]           # [B, 8]
+        if "slot" in _ABL:
+            slot = (chi & jnp.uint32(127)).astype(jnp.int32)
+            vals8 = jnp.ones((B, 8), jnp.int32)
+        else:
+            slot = _st_slot(ix, chi, clo)
+            vals8 = ix.st_vals[jnp.maximum(slot, 0)]           # [B, 8]
         use_right = jnp.where(mL, is_canon, ~is_canon)
         cands = jnp.where(use_right[:, None], vals8[:, 4:8], vals8[:, 0:4])
         cands = jnp.where((slot >= 0)[:, None], cands, 0)   # [B, 4]
         valid_c = cands > 0
 
         # candidate metadata: one [B,4]-indexed row gather
-        meta = jax.lax.bitcast_convert_type(
-            ix.umeta[cands], jnp.uint32
-        )                                                   # [B,4,16]
+        if "meta" in _ABL:
+            meta = jnp.ones((B, 4, 16), jnp.uint32)
+        else:
+            meta = jax.lax.bitcast_convert_type(
+                ix.umeta[cands], jnp.uint32
+            )                                                   # [B,4,16]
         uoffc = meta[..., _C_UOFF].astype(jnp.int32)
         ul = meta[..., _C_ULEN].astype(jnp.int32)
 
@@ -487,23 +479,30 @@ def align_batch(
             is_fwd, 0, ix.n_chunks
         )
         within = g & jnp.int32((1 << _CHUNK_SHIFT) - 1)
-        prow = ix.pool_rows[jnp.maximum(row_idx, 0)]        # [B,4,RW]
-        prow = _roll_left(prow, within >> 4,
-                          (1 << _CHUNK_SHIFT) // 16 - 1)
-        sh_a = (2 * (within & 15)).astype(jnp.uint32)[:, :, None]
-        a = _funnel(prow[..., :W2], prow[..., 1 : W2 + 1], sh_a)
+        if "pool" in _ABL:
+            a = jnp.zeros((B, 4, W2), jnp.uint32)
+        else:
+            prow = ix.pool_rows[jnp.maximum(row_idx, 0)]        # [B,4,RW]
+            prow = _roll_left(prow, within >> 4,
+                              (1 << _CHUNK_SHIFT) // 16 - 1)
+            sh_a = (2 * (within & 15)).astype(jnp.uint32)[:, :, None]
+            a = _funnel(prow[..., :W2], prow[..., 1 : W2 + 1], sh_a)
 
         # Read side: broadcast own packed row, roll to rstart.
         orient = s["orient"]
-        rw_cur = jnp.where((orient == 0)[:, None], rwf, rwr)
-        brow = jnp.broadcast_to(rw_cur[:, None, :], (Bc, 4, RWr))
-        brow = _roll_left(brow, rstart >> 4, Lw - 1)
-        sh_b = (2 * (rstart & 15)).astype(jnp.uint32)[:, :, None]
-        b = _funnel(brow[..., :W2], brow[..., 1 : W2 + 1], sh_b)
-        nrow = jnp.broadcast_to(nmw[:, None, :], (Bc, 4, RWr))
-        nrow = _roll_left(nrow, rstart >> 4, Lw - 1)
-        nb = _funnel(nrow[..., :W2], nrow[..., 1 : W2 + 1], sh_b)
-        nb = jnp.where((orient == 0)[:, None, None], nb, jnp.uint32(0))
+        if "read" in _ABL:
+            b = jnp.zeros((B, 4, W2), jnp.uint32)
+            nb = jnp.zeros((B, 4, W2), jnp.uint32)
+        else:
+            rw_cur = jnp.where((orient == 0)[:, None], rwf, rwr)
+            brow = jnp.broadcast_to(rw_cur[:, None, :], (B, 4, RWr))
+            brow = _roll_left(brow, rstart >> 4, Lw - 1)
+            sh_b = (2 * (rstart & 15)).astype(jnp.uint32)[:, :, None]
+            b = _funnel(brow[..., :W2], brow[..., 1 : W2 + 1], sh_b)
+            nrow = jnp.broadcast_to(nmw[:, None, :], (B, 4, RWr))
+            nrow = _roll_left(nrow, rstart >> 4, Lw - 1)
+            nb = _funnel(nrow[..., :W2], nrow[..., 1 : W2 + 1], sh_b)
+            nb = jnp.where((orient == 0)[:, None, None], nb, jnp.uint32(0))
 
         x = a ^ b
         mismw = ((x | (x >> 1)) & _LANE_LO) | nb
@@ -543,12 +542,13 @@ def align_batch(
         push_r = ok & (mRF | mRC)
         li = jnp.clip(s["llen"], 0, P - 1)
         ri = jnp.clip(s["rlen"], 0, P - 1)
-        s["lbuf"] = s["lbuf"].at[Bidx, li].set(
-            jnp.where(push_l, sid, s["lbuf"][Bidx, li])
-        )
-        s["rbuf"] = s["rbuf"].at[Bidx, ri].set(
-            jnp.where(push_r, sid, s["rbuf"][Bidx, ri])
-        )
+        if "push" not in _ABL:
+            s["lbuf"] = s["lbuf"].at[Bidx, li].set(
+                jnp.where(push_l, sid, s["lbuf"][Bidx, li])
+            )
+            s["rbuf"] = s["rbuf"].at[Bidx, ri].set(
+                jnp.where(push_r, sid, s["rbuf"][Bidx, ri])
+            )
         s["llen"] = s["llen"] + push_l.astype(jnp.int32)
         s["rlen"] = s["rlen"] + push_r.astype(jnp.int32)
         s["budget"] = jnp.where(ok, s["budget"] - best, s["budget"])
@@ -598,56 +598,23 @@ def align_batch(
         s["aidx"] = jnp.where(fail, s["aidx"] + 1, s["aidx"])
         return s
 
-    def run(state, env, cap: int):
-        def cond(s):
-            live = jnp.any(s["phase"] != _DONE)
-            return live & (s["iters"] < cap) if cap else live
+    def cond(s):
+        return jnp.any(s["phase"] != _DONE) & (s["iters"] < max_iters)
 
-        def body(s):
-            # one bookkeep resolves a full transition chain (its FETCH ->
-            # LEFT -> RFIRST -> DONE checks run sequentially on the
-            # updated state), so a single call per junction step suffices
-            s = bookkeep(s, env)
-            s = junction(s, env)
-            s["iters"] = s["iters"] + 1
-            return s
+    def body(s):
+        # one bookkeep resolves a full transition chain (its FETCH ->
+        # LEFT -> RFIRST -> DONE checks run sequentially on the updated
+        # state), so a single call per junction step suffices
+        s = bookkeep(s)
+        s = junction(s)
+        s["iters"] = s["iters"] + 1
+        return s
 
-        return jax.lax.while_loop(cond, body, state)
-
-    # ---- staged execution: the batch advances in lockstep, so the
-    # while loop runs as long as the SLOWEST read walks (~15 junction
-    # steps on the survey workload) while ~99% of reads finish within
-    # ~5; run the full batch a few steps, compact the stragglers into a
-    # B/8 sub-batch (row gathers), finish them there, scatter back.
-    # The final uncapped full-batch loop is the correctness net for
-    # sub-batch overflow; it is a no-op (one cond eval) in practice.
-    if stage1_iters > 0 and uncapped and B >= 64:
-        Btail = max(B // 8, 32)
-        state = run(state, env, stage1_iters)
-        pending = state["phase"] != _DONE
-        tidx = jnp.nonzero(pending, size=Btail, fill_value=0)[0]
-        tsel = pending[tidx]
-        ts = {
-            kk: (v if v.ndim == 0 else v[tidx]) for kk, v in state.items()
-        }
-        ts["phase"] = jnp.where(tsel, ts["phase"], _DONE)
-        tenv = {kk: v[tidx] for kk, v in env.items()}
-        ts = run(ts, tenv, max_iters)
-
-        def merge(full, tail):
-            if full.ndim == 0:
-                return tail
-            keep = tsel.reshape((-1,) + (1,) * (full.ndim - 1))
-            return full.at[tidx].set(jnp.where(keep, tail, full[tidx]))
-
-        state = {kk: merge(state[kk], ts[kk]) for kk in state}
-        state = run(state, env, max_iters)
-    else:
-        state = run(state, env, max_iters)
+    state = jax.lax.while_loop(cond, body, state)
     # flush terminal bookkeeping (a read can finish in bookkeep phase
     # right after the final junction iteration)
     for _ in range(2):
-        state = bookkeep(state, env)
+        state = bookkeep(state)
 
     res = dict(
         status=state["status"],
