@@ -110,6 +110,9 @@ class IndexArrays(NamedTuple):
     umeta: jax.Array        # int32  [U+1, 16] per-unitig metadata row
     pool_rows: jax.Array    # uint32 [2*nc, RW] fwd then rc chunk rows
     n_chunks: jax.Array     # int32  [] fwd row count (rc rows follow)
+    pt_rows: jax.Array      # uint32 [nbp, 32] closure probe rows ((0,32)
+    #                         when absent -> per-position scan fallback)
+    pt_seed: jax.Array      # uint32 [] probe bucket-hash seed
 
 
 # umeta column layout (index.device.build_device_index)
@@ -121,6 +124,7 @@ _C_RCB_HI, _C_RCB_LO, _C_RCE_HI, _C_RCE_LO = 6, 7, 8, 9
 def index_to_device(di) -> IndexArrays:
     """DeviceIndex (numpy) -> IndexArrays (jnp)."""
     t = di.scan_tbl
+    pt = getattr(di, "probe_tbl", None)
     return IndexArrays(
         st_keys=jnp.asarray(t.keys),
         st_vals=jnp.asarray(t.vals),
@@ -128,6 +132,9 @@ def index_to_device(di) -> IndexArrays:
         umeta=jnp.asarray(di.umeta),
         pool_rows=jnp.asarray(di.pool_rows),
         n_chunks=jnp.int32(di.n_chunks),
+        pt_rows=(jnp.asarray(pt.rows) if pt is not None
+                 else jnp.zeros((0, 32), jnp.uint32)),
+        pt_seed=jnp.uint32(pt.seed if pt is not None else 0),
     )
 
 
@@ -152,6 +159,69 @@ def _st_slot(ix: IndexArrays, qhi, qlo):
     ok, b = _st_rows(ix, qhi, qlo)
     s = jnp.argmax(ok, axis=-1).astype(jnp.int32)
     return jnp.where(jnp.any(ok, axis=-1), b * 8 + s, -1)
+
+
+def _closure_member(ix: IndexArrays, rep_hi, rep_lo, le, codes32, k1: int):
+    """Anchor-scan membership for every position via 4-position closure
+    probes (index.device.ProbeTable): ONE row gather per FOUR read
+    positions instead of one per position — gathers are the serial
+    currency on TPU (~60-80M rows/s regardless of row width).
+
+    rep_hi/lo: canonical (k-1)-mer per position [B, Lk]; le: query
+    orientation (True = forward kmer IS the canonical); codes32: the
+    read base codes the kmers were scanned from (consecutive kmers are
+    shift-related, so neighbour extension bases come straight from it).
+    Only valid when rep is the true canonical of the scanned kmers
+    (i.e. the no-N path; N quirks break the shift relation's canon)."""
+    B, Lk = rep_hi.shape
+    L = codes32.shape[1]
+    nbp = ix.pt_rows.shape[0]
+    J = (Lk + 3) // 4
+    pcols = [min(4 * j + 1, Lk - 1) for j in range(J)]
+
+    def at(arr, cols):
+        return jnp.stack([arr[:, c] for c in cols], axis=1)
+
+    qhi = at(rep_hi, pcols)
+    qlo = at(rep_lo, pcols)
+    b = (mix32(qhi ^ ix.pt_seed, qlo) & jnp.uint32(nbp - 1)).astype(
+        jnp.int32
+    )
+    row = ix.pt_rows[b]                                  # [B, J, 32]
+    ok = (row[..., 0:8] == qhi[..., None]) & (
+        row[..., 8:16] == qlo[..., None]
+    )
+    w0 = jnp.sum(jnp.where(ok, row[..., 16:24], jnp.uint32(0)),
+                 axis=-1, dtype=jnp.uint32)              # [B, J]
+    w1 = jnp.sum(jnp.where(ok, row[..., 24:32], jnp.uint32(0)),
+                 axis=-1, dtype=jnp.uint32)
+
+    onum = jnp.where(at(le, pcols), jnp.uint32(0), jnp.uint32(1))
+    fb = at(codes32, [max(p - 1, 0) for p in pcols])     # pred base
+    c1 = at(codes32, [min(p + k1, L - 1) for p in pcols])
+    c2 = at(codes32, [min(p + k1 + 1, L - 1) for p in pcols])
+    cc = (c1 << 2) | c2
+
+    def bit(idx):
+        idx = idx.astype(jnp.uint32)
+        lo_ = (w0 >> idx) & jnp.uint32(1)
+        hi_ = (w1 >> jnp.where(idx >= 32, idx - 32, jnp.uint32(0))
+               ) & jnp.uint32(1)
+        return jnp.where(idx < 32, lo_, hi_) != 0
+
+    m_by_d = {
+        -1: bit(jnp.uint32(9) + 4 * onum + fb),
+        0: bit(jnp.broadcast_to(jnp.uint32(0), onum.shape)),
+        1: bit(jnp.uint32(1) + 4 * onum + c1),
+        2: bit(jnp.uint32(17) + 16 * onum + cc),
+    }
+    # position i is answered by probe j = i//4 at offset d = i - p_j;
+    # the end-clamped last probe only ever serves d <= 0 positions
+    cols = []
+    for i in range(Lk):
+        j = i // 4
+        cols.append(m_by_d[i - pcols[j]][:, j])
+    return jnp.stack(cols, axis=1)
 
 
 def _scan_kmer_pairs(codes32, n: int, complement: bool):
@@ -302,14 +372,38 @@ def align_batch(
     le1 = pair_le(bug_hi, bug_lo, rcs_hi, rcs_lo)
     rep1_hi = jnp.where(le1, bug_hi, rcs_hi)
     rep1_lo = jnp.where(le1, bug_lo, rcs_lo)
-    member1 = _st_member(ix, rep1_hi, rep1_lo) & valid
 
-    def _member2():
+    def _slow_members():
+        """Per-position membership probes; handles the N-code quirks
+        (reference str2num vs nuc2int, see model.scan_kmers) where the
+        scanned 'canonical' is not a true canonical and the closure
+        probe's shift relation does not hold."""
+        m1 = _st_member(ix, rep1_hi, rep1_lo) & valid
         le2 = pair_le(std_hi, std_lo, rcs_hi, rcs_lo)
         r_hi = jnp.where(le2, std_hi, rcs_hi)
         r_lo = jnp.where(le2, std_lo, rcs_lo)
-        return _st_member(ix, r_hi, r_lo) & valid
-    member2 = jax.lax.cond(jnp.any(nmask), _member2, lambda: member1)
+        m2 = _st_member(ix, r_hi, r_lo) & valid
+        return m1, m2
+
+    if ix.pt_rows.shape[0] > 0:
+        def _fast_members():
+            m = _closure_member(
+                ix, rep1_hi, rep1_lo, le1, codes32, k1
+            ) & valid
+            return m, m
+        member1, member2 = jax.lax.cond(
+            jnp.any(nmask), _slow_members, _fast_members
+        )
+    else:
+        member1 = _st_member(ix, rep1_hi, rep1_lo) & valid
+
+        def _member2():
+            le2 = pair_le(std_hi, std_lo, rcs_hi, rcs_lo)
+            r_hi = jnp.where(le2, std_hi, rcs_hi)
+            r_lo = jnp.where(le2, std_lo, rcs_lo)
+            return _st_member(ix, r_hi, r_lo) & valid
+
+        member2 = jax.lax.cond(jnp.any(nmask), _member2, lambda: member1)
 
     # forward anchors: first E member1 hits, values = buggy fwd kmer
     apos_f, ahi_f, alo_f, n_fwd = _first_k_hits(member1, bug_hi, bug_lo, E)

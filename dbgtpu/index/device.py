@@ -176,6 +176,138 @@ def build_scan_table(keys: np.ndarray, vals: np.ndarray) -> ScanTable:
         nb <<= 1
 
 
+@dataclass
+class ProbeTable:
+    """Closure membership-probe table for the anchor scan.
+
+    The anchor scan must test `canonical((k-1)-mer) ∈ S` (S = junction
+    key set) at EVERY read position (reference getNOverlap,
+    aligner.cpp:345-378); on TPU each test is a serial row gather and
+    gathers are rate-bound (~60-80M rows/s regardless of width), so a
+    per-position probe dominates the whole mapping runtime.  This table
+    answers membership for FOUR consecutive positions per gather:
+
+      probe the canonical kmer x_p at position p; its bucket slot
+      stores precomputed bits for the whole 1-step neighbourhood:
+        self:        x_p ∈ S
+        pred1[o][b]: canonical(b-extended predecessor) ∈ S   (pos p-1)
+        succ1[o][c]: canonical(c-extended successor)  ∈ S   (pos p+1)
+        succ2[o][cc]: two-step successor              ∈ S   (pos p+2)
+      (o = whether the read's forward kmer equals the stored canonical
+      key or its reverse complement; consecutive read kmers are shift-
+      related, so b/c/cc are read directly from the read's base codes.)
+
+    Keyset = canon(S ∪ pred(S±) ∪ succ(S±) ∪ succ²(S±)) ≤ 41·|S|: a
+    probe that misses proves all four positions are non-members.  This
+    trades one-time host build + HBM for a 4x cut in serial gathers —
+    the TPU-first inversion of the reference's per-position MPHF loop.
+
+    Row layout [nb, 32] uint32: cols 0:8 key-hi x8 slots, 8:16 key-lo,
+    16:24 bits word0, 24:32 bits word1.  Bit layout (49 bits):
+      0: self; 1+4o+c: succ1; 9+4o+b: pred1; 17+16o+cc: succ2.
+    """
+
+    rows: np.ndarray      # uint32 [nb, 32]
+    n_buckets: int
+    seed: int
+    window: int = 4
+
+
+# skip the probe table above this many junction keys (host build memory
+# for the 41x closure keyset; the engine falls back to per-position
+# membership probes).  ~4M keys -> ~160M closure keys ~ 6 GB host peak.
+PROBE_TABLE_MAX_KEYS = 4_000_000
+
+
+def build_probe_table(s_keys: np.ndarray, k1: int) -> ProbeTable | None:
+    """s_keys: uint64 canonical junction keys (the ScanTable keyset)."""
+    from ..seq import rcb
+
+    S = np.sort(np.asarray(s_keys, np.uint64))
+    n = len(S)
+    if n == 0 or n > PROBE_TABLE_MAX_KEYS:
+        return None
+    mask = np.uint64((1 << (2 * k1)) - 1)
+
+    def canon(v):
+        return np.minimum(v, rcb(v, k1))
+
+    def in_s(v):
+        i = np.searchsorted(S, v)
+        i = np.minimum(i, n - 1)
+        return S[i] == v
+
+    s_or = np.unique(np.concatenate([S, rcb(S, k1)]))
+    c4 = np.arange(4, dtype=np.uint64)
+    c16 = np.arange(16, dtype=np.uint64)
+    succ1 = ((s_or[:, None] << np.uint64(2)) | c4[None, :]) & mask
+    succ2 = ((s_or[:, None] << np.uint64(4)) | c16[None, :]) & mask
+    keys = np.unique(np.concatenate(
+        [S, canon(succ1.ravel()), canon(succ2.ravel())]
+    ))
+    del succ1, succ2
+
+    nk = len(keys)
+    bits0 = np.zeros(nk, np.uint32)
+    bits1 = np.zeros(nk, np.uint32)
+
+    def set_bit(idx: int, cond: np.ndarray):
+        if idx < 32:
+            bits0[cond] |= np.uint32(1 << idx)
+        else:
+            bits1[cond] |= np.uint32(1 << (idx - 32))
+
+    set_bit(0, in_s(keys))
+    top = np.uint64(2 * (k1 - 1))
+    for o in range(2):
+        z = keys if o == 0 else rcb(keys, k1)
+        for c in range(4):
+            v = ((z << np.uint64(2)) | np.uint64(c)) & mask
+            set_bit(1 + 4 * o + c, in_s(canon(v)))
+        for b in range(4):
+            v = (z >> np.uint64(2)) | (np.uint64(b) << top)
+            set_bit(9 + 4 * o + b, in_s(canon(v)))
+        for cc in range(16):
+            v = ((z << np.uint64(4)) | np.uint64(cc)) & mask
+            set_bit(17 + 16 * o + cc, in_s(canon(v)))
+
+    hi, lo = split64(keys)
+    nb = 1 << max(2, int(np.ceil(np.log2(nk))))
+    while True:
+        for attempt in range(16):
+            seed = np.uint32(0x9E3779B1) * np.uint32(attempt + 1)
+            b = (_scan_hash(hi, lo, seed) & np.uint32(nb - 1)).astype(
+                np.int64
+            )
+            counts = np.bincount(b, minlength=nb)
+            if counts.max(initial=0) <= 8:
+                rows = np.full((nb, 32), 0, np.uint32)
+                rows[:, 0:16] = _EMPTY_KEY
+                order = np.argsort(b, kind="stable")
+                bs = b[order]
+                start = np.zeros(nb + 1, np.int64)
+                np.cumsum(counts, out=start[1:])
+                slot = np.arange(nk) - start[bs]
+                rows[bs, slot] = hi[order]
+                rows[bs, 8 + slot] = lo[order]
+                rows[bs, 16 + slot] = bits0[order]
+                rows[bs, 24 + slot] = bits1[order]
+                return ProbeTable(rows, nb, int(seed))
+        nb <<= 1
+
+
+def pt_member_host(pt: ProbeTable, hi, lo) -> np.ndarray:
+    """Numpy mirror of the device self-membership bit (testing aid)."""
+    hi = np.asarray(hi, np.uint32)
+    lo = np.asarray(lo, np.uint32)
+    b = (_scan_hash(hi, lo, np.uint32(pt.seed))
+         & np.uint32(pt.n_buckets - 1)).astype(np.int64)
+    row = pt.rows[b]
+    ok = (row[..., 0:8] == hi[..., None]) & (row[..., 8:16] == lo[..., None])
+    w0 = np.where(ok, row[..., 16:24], 0).sum(axis=-1).astype(np.uint32)
+    return (w0 & 1).astype(bool)
+
+
 def st_find_host(tbl: ScanTable, hi, lo) -> np.ndarray:
     """Numpy mirror of the device lookup: flat slot (bucket*8 + s) per
     query, or -1."""
@@ -271,6 +403,7 @@ class DeviceIndex:
     pool_rows: np.ndarray | None = None  # uint32 [2*n_chunks, row_words]
     n_chunks: int = 0                   # fwd rows; rc rows follow
     halo_bases: int = 0                 # max window a chunk row covers
+    probe_tbl: ProbeTable | None = None  # 4-position closure anchor scan
 
 
 def build_device_index(
@@ -289,6 +422,7 @@ def build_device_index(
             vals[i, 4 + j] = uid
     tbl = build_hash_table(keys, vals)
     scan_tbl = build_scan_table(keys, vals)
+    probe_tbl = build_probe_table(keys, k1)
 
     rcbeg = rcb(g.ubeg, k1)
     rcend = rcb(g.uend, k1)
@@ -339,4 +473,5 @@ def build_device_index(
         pool_rows=np.concatenate([fwd_rows, rc_rows], axis=0),
         n_chunks=fwd_rows.shape[0],
         halo_bases=halo,
+        probe_tbl=probe_tbl,
     )

@@ -88,15 +88,26 @@ def kmers_of(codes: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+_RC_M2 = np.uint64(0x3333333333333333)
+_RC_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_RC_M8 = np.uint64(0x00FF00FF00FF00FF)
+_RC_M16 = np.uint64(0x0000FFFF0000FFFF)
+
+
 def rcb(v: np.uint64 | np.ndarray, n: int) -> np.uint64 | np.ndarray:
     """Numeric reverse complement of an n-mer (semantics of reference
-    rcb, utils.cpp:182-192), vectorized over arrays."""
+    rcb, utils.cpp:182-192), vectorized over arrays.  O(1) bit-swizzle
+    per element (complement = per-2-bit-group NOT; reverse = log-swap
+    of 2-bit groups), not an O(n) base loop — the closure probe-table
+    build calls this on ~10^8-element arrays."""
     v = np.asarray(v, dtype=np.uint64)
-    res = np.zeros_like(v)
-    cur = v.copy()
-    for i in range(n):
-        res = (res << np.uint64(2)) | (np.uint64(3) - (cur & np.uint64(3)))
-        cur >>= np.uint64(2)
+    x = ~v
+    x = ((x & _RC_M2) << np.uint64(2)) | ((x >> np.uint64(2)) & _RC_M2)
+    x = ((x & _RC_M4) << np.uint64(4)) | ((x >> np.uint64(4)) & _RC_M4)
+    x = ((x & _RC_M8) << np.uint64(8)) | ((x >> np.uint64(8)) & _RC_M8)
+    x = ((x & _RC_M16) << np.uint64(16)) | ((x >> np.uint64(16)) & _RC_M16)
+    x = (x << np.uint64(32)) | (x >> np.uint64(32))
+    res = x >> np.uint64(64 - 2 * n)
     if res.ndim == 0:
         return np.uint64(res)
     return res
