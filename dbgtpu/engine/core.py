@@ -105,7 +105,9 @@ class IndexArrays(NamedTuple):
     """Device-side view of DeviceIndex (all jnp arrays)."""
 
     st_keys: jax.Array      # uint32 [nb, 16] 8 slot keys (hi x8 | lo x8)
-    st_vals: jax.Array      # int32  [nb*8, 8] left4 | right4
+    st_fused: jax.Array     # uint32 [nb, 80] keys ++ 8 slots x 8 vals
+    #                         (junction lookup = ONE gather: key compare
+    #                         and value select from the same row)
     st_seed: jax.Array      # uint32 [] bucket-hash seed
     umeta: jax.Array        # int32  [U+1, 16] per-unitig metadata row
     pool_rows: jax.Array    # uint32 [2*nc, RW] fwd then rc chunk rows
@@ -125,9 +127,13 @@ def index_to_device(di) -> IndexArrays:
     """DeviceIndex (numpy) -> IndexArrays (jnp)."""
     t = di.scan_tbl
     pt = getattr(di, "probe_tbl", None)
+    nb = t.keys.shape[0]
+    fused = np.concatenate(
+        [t.keys, t.vals.reshape(nb, -1).view(np.uint32)], axis=1
+    )
     return IndexArrays(
         st_keys=jnp.asarray(t.keys),
-        st_vals=jnp.asarray(t.vals),
+        st_fused=jnp.asarray(fused),
         st_seed=jnp.uint32(t.seed),
         umeta=jnp.asarray(di.umeta),
         pool_rows=jnp.asarray(di.pool_rows),
@@ -152,13 +158,6 @@ def _st_rows(ix: IndexArrays, qhi, qlo):
 def _st_member(ix: IndexArrays, qhi, qlo):
     ok, _ = _st_rows(ix, qhi, qlo)
     return jnp.any(ok, axis=-1)
-
-
-def _st_slot(ix: IndexArrays, qhi, qlo):
-    """Flat slot (bucket*8 + s) or -1."""
-    ok, b = _st_rows(ix, qhi, qlo)
-    s = jnp.argmax(ok, axis=-1).astype(jnp.int32)
-    return jnp.where(jnp.any(ok, axis=-1), b * 8 + s, -1)
 
 
 def _closure_member(ix: IndexArrays, rep_hi, rep_lo, le, codes32, k1: int):
@@ -531,11 +530,25 @@ def align_batch(
         is_canon = pair_le(bhi, blo, rhi, rlo)
         chi = jnp.where(is_canon, bhi, rhi)
         clo = jnp.where(is_canon, blo, rlo)
-        slot = _st_slot(ix, chi, clo)
-        vals8 = ix.st_vals[jnp.maximum(slot, 0)]           # [B, 8]
+        # ONE fused-row gather: slot-key compare + value select (each
+        # ok mask has at most one True slot, so a masked row-sum
+        # replaces the second (st_vals) gather)
+        nbm = jnp.uint32(ix.st_fused.shape[0] - 1)
+        frow = ix.st_fused[
+            (mix32(chi ^ ix.st_seed, clo) & nbm).astype(jnp.int32)
+        ]                                                   # [B, 80]
+        okf = (frow[:, 0:8] == chi[:, None]) & (
+            frow[:, 8:16] == clo[:, None]
+        )
+        vals8 = jnp.sum(
+            jnp.where(okf[:, :, None],
+                      frow[:, 16:80].reshape(-1, 8, 8), jnp.uint32(0)),
+            axis=1, dtype=jnp.uint32,
+        ).astype(jnp.int32)                                 # [B, 8]
+        found = jnp.any(okf, axis=1)
         use_right = jnp.where(mL, is_canon, ~is_canon)
         cands = jnp.where(use_right[:, None], vals8[:, 4:8], vals8[:, 0:4])
-        cands = jnp.where((slot >= 0)[:, None], cands, 0)   # [B, 4]
+        cands = jnp.where(found[:, None], cands, 0)         # [B, 4]
         valid_c = cands > 0
 
         # candidate metadata: one [B,4]-indexed row gather
@@ -573,18 +586,35 @@ def align_batch(
         )
 
         # ---- windowed compare: row gathers + in-register alignment.
-        # Candidate side: the chunk row fully covers [ustart, ustart+w)
-        # (w <= L <= halo); RC candidates read the rc pool copy, where
-        # window start ustart is already in RC coordinates.
-        g = uoffc + ustart                                  # [B,4]
-        row_idx = (g >> _CHUNK_SHIFT) + jnp.where(
-            is_fwd, 0, ix.n_chunks
-        )
-        within = g & jnp.int32((1 << _CHUNK_SHIFT) - 1)
-        prow = ix.pool_rows[jnp.maximum(row_idx, 0)]        # [B,4,RW]
-        prow = _roll_left(prow, within >> 4,
-                          (1 << _CHUNK_SHIFT) // 16 - 1)
-        sh_a = (2 * (within & 15)).astype(jnp.uint32)[:, :, None]
+        # Candidate side.  Fast path (SW > 0): the meta row already
+        # carries the unitig's packed bases (fwd at cols 16:16+SW, rc at
+        # 16+SW:16+2*SW, rc window start already in RC coordinates) —
+        # zero extra gathers.  Fallback: chunk-row gather into the pool
+        # (row fully covers [ustart, ustart+w): w <= L <= halo).
+        SW = (ix.umeta.shape[1] - 16) // 2
+        if SW > 0:
+            prow = jnp.where(
+                is_fwd[..., None],
+                meta[..., 16 : 16 + SW],
+                meta[..., 16 + SW : 16 + 2 * SW],
+            )                                               # [B,4,SW]
+            if SW < W2 + 1:
+                prow = jnp.concatenate(
+                    [prow, jnp.zeros(prow.shape[:-1] + (W2 + 1 - SW,),
+                                     jnp.uint32)], axis=-1,
+                )
+            prow = _roll_left(prow, ustart >> 4, max(SW - 1, 1))
+            sh_a = (2 * (ustart & 15)).astype(jnp.uint32)[:, :, None]
+        else:
+            g = uoffc + ustart                              # [B,4]
+            row_idx = (g >> _CHUNK_SHIFT) + jnp.where(
+                is_fwd, 0, ix.n_chunks
+            )
+            within = g & jnp.int32((1 << _CHUNK_SHIFT) - 1)
+            prow = ix.pool_rows[jnp.maximum(row_idx, 0)]    # [B,4,RW]
+            prow = _roll_left(prow, within >> 4,
+                              (1 << _CHUNK_SHIFT) // 16 - 1)
+            sh_a = (2 * (within & 15)).astype(jnp.uint32)[:, :, None]
         a = _funnel(prow[..., :W2], prow[..., 1 : W2 + 1], sh_a)
 
         # Read side: broadcast own packed row, roll to rstart.

@@ -338,6 +338,12 @@ def pack_words(codes: np.ndarray) -> np.ndarray:
 
 CHUNK_BASES = 128          # pool chunk granularity (power of two)
 
+# embedded-sequence umeta rows (see build_device_index): skip embedding
+# for graphs with very long unitigs or where the widened table would
+# dominate HBM; the engine then uses the pool-chunk gather path.
+EMBED_CAP_BASES = 1024
+EMBED_CAP_BYTES = 2 << 30
+
 
 def build_pool_rows(pool_words: np.ndarray, n_bases: int,
                     halo_bases: int) -> np.ndarray:
@@ -442,12 +448,39 @@ def build_device_index(
     uoff = g.offsets.astype(np.int32)
     ulen = g.lengths.astype(np.int32)
     U1 = len(uoff)
-    umeta = np.zeros((U1, 16), np.int32)
+    max_ulen = int(g.lengths.max(initial=0))
+
+    # Embedded-sequence rows: append each unitig's packed bases (fwd then
+    # rc) to its metadata row, so the junction step's candidate window
+    # comes from the SAME row gather that fetches the metadata — the
+    # pool-chunk gather (4 rows/read/step, the single largest gather in
+    # the mapping loop) disappears.  Only when every unitig fits (engine
+    # trusts seq columns to cover max_ulen) and the table stays small.
+    sw = (max_ulen + 15) // 16 + 1 if max_ulen else 0
+    embed = (
+        0 < max_ulen <= EMBED_CAP_BASES
+        and U1 * (16 + 2 * sw) * 4 <= EMBED_CAP_BYTES
+    )
+    umeta = np.zeros((U1, 16 + (2 * sw if embed else 0)), np.int32)
     for c, a in enumerate(
         (uoff, ulen, ubeg_hi, ubeg_lo, uend_hi, uend_lo,
          rcbeg_hi, rcbeg_lo, rcend_hi, rcend_lo)
     ):
         umeta[:, c] = a.view(np.int32) if a.dtype == np.uint32 else a
+    if embed:
+        rc_pool = build_rc_pool(g.pool, g.offsets, g.lengths)
+        base_idx = uoff.astype(np.int64)[:, None] + np.arange(16 * sw)
+        inb = np.arange(16 * sw)[None, :] < ulen[:, None]
+        base_idx = np.clip(base_idx, 0, max(len(g.pool) - 1, 0))
+        shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+        for col0, src in ((16, g.pool), (16 + sw, rc_pool)):
+            if len(src) == 0:
+                continue
+            b = np.where(inb, src[base_idx], 0).astype(np.uint32)
+            words = (b.reshape(U1, sw, 16) << shifts).sum(
+                axis=2, dtype=np.uint32
+            )
+            umeta[:, col0 : col0 + sw] = words.view(np.int32)
 
     halo = max(256, ((max_read_len + 15) // 16) * 16)
     pool_words = pack_words(g.pool)
@@ -466,7 +499,7 @@ def build_device_index(
         uend_hi=uend_hi, uend_lo=uend_lo,
         rcbeg_hi=rcbeg_hi, rcbeg_lo=rcbeg_lo,
         rcend_hi=rcend_hi, rcend_lo=rcend_lo,
-        max_ulen=int(g.lengths.max(initial=0)),
+        max_ulen=max_ulen,
         anchor_tbl=anchor_tbl,
         scan_tbl=scan_tbl,
         umeta=umeta,
