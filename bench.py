@@ -114,7 +114,7 @@ def main() -> int:
     def step(codes):
         res = align_batch(
             ix, codes, nm_d, lens_d,
-            k=K, m=M, effort=EFFORT, probe_len=di.tbl.probe_len,
+            k=K, m=M, effort=EFFORT,
         )
         # summarize on device: count aligned, checksum offsets
         aligned = jnp.sum((res["status"] == 1) | (res["status"] == 2))

@@ -55,7 +55,7 @@ def align_batch_sharded(
     ix: IndexArrays,
     codes, nmask, lens,
     *,
-    k: int, m: int, effort: int, probe_len: int,
+    k: int, m: int, effort: int,
 ):
     """Batch sharded over the mesh's reads axis; index replicated;
     stats psum-reduced on device.  Batch size must divide the mesh."""
@@ -63,7 +63,7 @@ def align_batch_sharded(
     def shard_fn(ix, codes, nmask, lens):
         res = align_batch(
             ix, codes, nmask, lens,
-            k=k, m=m, effort=effort, probe_len=probe_len,
+            k=k, m=m, effort=effort,
         )
         res.pop("iters")
         counts = jax.lax.psum(status_counts(res["status"]), READS_AXIS)

@@ -104,10 +104,10 @@ def _roll_left(x, sh, max_sh: int):
 class IndexArrays(NamedTuple):
     """Device-side view of DeviceIndex (all jnp arrays)."""
 
-    st_keys: jax.Array      # uint32 [nb, 16] 8 slot keys (hi x8 | lo x8)
-    st_fused: jax.Array     # uint32 [nb, 80] keys ++ 8 slots x 8 vals
-    #                         (junction lookup = ONE gather: key compare
-    #                         and value select from the same row)
+    st_fused: jax.Array     # uint32 [nb, 80] 8 slot keys (hi x8 | lo x8)
+    #                         ++ 8 slots x 8 vals (junction lookup = ONE
+    #                         gather: key compare and value select from
+    #                         the same row; membership reads cols 0:16)
     st_seed: jax.Array      # uint32 [] bucket-hash seed
     umeta: jax.Array        # int32  [U+1, 16] per-unitig metadata row
     pool_rows: jax.Array    # uint32 [2*nc, RW] fwd then rc chunk rows
@@ -132,7 +132,6 @@ def index_to_device(di) -> IndexArrays:
         [t.keys, t.vals.reshape(nb, -1).view(np.uint32)], axis=1
     )
     return IndexArrays(
-        st_keys=jnp.asarray(t.keys),
         st_fused=jnp.asarray(fused),
         st_seed=jnp.uint32(t.seed),
         umeta=jnp.asarray(di.umeta),
@@ -145,12 +144,13 @@ def index_to_device(di) -> IndexArrays:
 
 
 def _st_rows(ix: IndexArrays, qhi, qlo):
-    """Bucket key rows + slot matches for (qhi, qlo): ONE row gather.
+    """Bucket key rows + slot matches for (qhi, qlo): ONE row gather
+    into the fused table (key columns 0:16).
     Returns (ok [..., 8] slot match mask, bucket [...])."""
-    nb = ix.st_keys.shape[0]
+    nb = ix.st_fused.shape[0]
     mask = jnp.uint32(nb - 1)
     b = (mix32(qhi ^ ix.st_seed, qlo) & mask).astype(jnp.int32)
-    row = ix.st_keys[b]                      # [..., 16]
+    row = ix.st_fused[b]                     # [..., 80]
     ok = (row[..., 0:8] == qhi[..., None]) & (row[..., 8:16] == qlo[..., None])
     return ok, b
 
@@ -307,7 +307,7 @@ def pack_paths(res: dict, pmax: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "m", "effort", "probe_len", "max_iters", "pmax", "stage1_iters"
+        "k", "m", "effort", "max_iters", "pmax", "stage1_iters", "ablate"
     ),
 )
 def align_batch(
@@ -319,10 +319,12 @@ def align_batch(
     k: int,
     m: int,
     effort: int,
-    probe_len: int = 0,   # vestigial (old two-choice layout); ignored
     max_iters: int = 0,
     pmax: int = 0,
     stage1_iters: int = 6,
+    ablate: str = "all",  # profiling hook: "scan" stops after the
+    #                       anchor scan (status := anchor counts);
+    #                       capped loops are expressed via max_iters
 ):
     """Align a batch.  Returns dict of per-read results."""
     B, L = codes.shape
@@ -415,6 +417,20 @@ def align_batch(
     vr_hi = _roll_left(jnp.flip(rcs_hi, axis=1), rsh, L - 1)
     vr_lo = _roll_left(jnp.flip(rcs_lo, axis=1), rsh, L - 1)
     apos_r, ahi_r, alo_r, n_rc = _first_k_hits(member_rc, vr_hi, vr_lo, E)
+
+    if ablate == "scan":
+        z = jnp.zeros((B,), jnp.int32)
+        res = dict(
+            status=n_fwd + n_rc + apos_f[:, 0] + apos_r[:, 0],
+            orient=z, offset=z, llen=z, rlen=z,
+            lbuf=jnp.zeros((B, 1), jnp.int32),
+            rbuf=jnp.zeros((B, 1), jnp.int32),
+            iters=jnp.zeros((), jnp.int32),
+        )
+        if pmax:
+            res["paths"] = jnp.zeros((B, pmax), jnp.int32)
+            res["plen"] = z
+        return res
 
     state = dict(
         phase=jnp.full((B,), _FETCH, jnp.int32),

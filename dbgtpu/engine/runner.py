@@ -146,7 +146,7 @@ def align_bulk(
         blens[:nb] = lens
         res = align_batch(
             ix, codes, nmask, blens,
-            k=k, m=m, effort=effort, probe_len=di.tbl.probe_len,
+            k=k, m=m, effort=effort,
             pmax=pmax,
         )
         pending.append((s0, res, nb, pmax))
@@ -173,8 +173,6 @@ def align_stream_jax(
     di = get_device_index(graph)
     ix = index_to_device(di)
     k = graph.k
-    probe_len = di.tbl.probe_len
-
     pending: list[Tuple[bytes, bytes]] = []
 
     def flush():
@@ -185,7 +183,7 @@ def align_stream_jax(
         codes, nm, lens = pack_batch([s for _, s in pending], B, L)
         res = align_batch(
             ix, codes, nm, lens,
-            k=k, m=m, effort=effort, probe_len=probe_len,
+            k=k, m=m, effort=effort,
         )
         res = {kk: np.asarray(v) for kk, v in res.items()}
         for i, (header, seq) in enumerate(pending):

@@ -42,12 +42,10 @@ def test_sharded_matches_single():
     rseqs = [l for i, l in enumerate(reads_fa.splitlines()) if i % 2 == 1]
     codes, nm, lens = pack_batch(rseqs, 64, 128)
 
-    single = align_batch(ix, codes, nm, lens, k=21, m=2, effort=2,
-                         probe_len=di.tbl.probe_len)
+    single = align_batch(ix, codes, nm, lens, k=21, m=2, effort=2)
     mesh = make_mesh(8)
     sharded, counts = align_batch_sharded(
         mesh, ix, codes, nm, lens, k=21, m=2, effort=2,
-        probe_len=di.tbl.probe_len,
     )
     for key in ("status", "offset", "llen", "rlen", "lbuf", "rbuf",
                 "orient"):
