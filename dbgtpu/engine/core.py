@@ -273,6 +273,36 @@ def _first_k_hits(member, values_hi, values_lo, E: int):
     )
 
 
+def _last_k_hits_rc(member, vhi, vlo, lens, k1: int, E: int):
+    """RC-anchor extraction without mirroring the scan arrays: the
+    (e+1)-th member counted from the END of the forward scan is the RC
+    read's e-th anchor, at rc-read position lens-k1-i with the rc kmer
+    value of fwd position i.  Same masked-sum trick as _first_k_hits."""
+    B, Lk = member.shape
+    scan_col = jnp.arange(Lk, dtype=jnp.int32)[None, :]
+    memi = member.astype(jnp.int32)
+    cum = jnp.cumsum(memi, axis=1)
+    total = cum[:, -1:]
+    rev = total - cum + memi        # rank from the end (1-based at hits)
+    rcpos = lens[:, None] - k1 - scan_col
+    pos_list, hi_list, lo_list = [], [], []
+    for e in range(E):
+        hm = (rev == e + 1) & member
+        pos_list.append(
+            jnp.sum(jnp.where(hm, rcpos, 0), axis=1).astype(jnp.int32)
+        )
+        hi_list.append(jnp.sum(jnp.where(hm, vhi, jnp.uint32(0)),
+                               axis=1, dtype=jnp.uint32))
+        lo_list.append(jnp.sum(jnp.where(hm, vlo, jnp.uint32(0)),
+                               axis=1, dtype=jnp.uint32))
+    return (
+        jnp.stack(pos_list, axis=1),
+        jnp.stack(hi_list, axis=1),
+        jnp.stack(lo_list, axis=1),
+        jnp.minimum(total[:, 0], E).astype(jnp.int32),
+    )
+
+
 def _pick(arrs, j, n: int):
     """arrs[:, j] for per-row j in [0, n) as an unrolled where-chain
     (elementwise; avoids take_along_axis)."""
@@ -280,6 +310,100 @@ def _pick(arrs, j, n: int):
     for c in range(1, n):
         out = jnp.where(j == c, arrs[:, c], out)
     return out
+
+
+def _read_images(codes, nmask, lens, RWr: int):
+    """Per-read device images: 2-bit code row, reverse-complement code
+    row (flip + masked log-roll; RC('N') == 'A' == 3 - code), and the
+    packed 16-bases-per-word rows for windowed compares."""
+    B, L = codes.shape
+    codes32 = codes.astype(jnp.uint32)
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+    lshift = (jnp.int32(L) - lens)[:, None]          # [B, 1]
+    flipped = jnp.flip(codes32, axis=1)
+    rc32 = jnp.where(
+        col < lens[:, None],
+        jnp.uint32(3) - _roll_left(flipped, lshift[:, 0], L - 1),
+        0,
+    )
+    rwf = _pack_rows(codes32, RWr)
+    rwr = _pack_rows(rc32, RWr)
+    nmw = _pack_rows(nmask.astype(jnp.uint32), RWr)
+    return codes32, rc32, rwf, rwr, nmw
+
+
+def _window_miss(
+    ix: IndexArrays, meta, is_fwd, uoffc, ustart, rstart, w,
+    rw_cur, nm_rows, W2: int, Lw: int,
+):
+    """Windowed Hamming between candidate unitigs and the read.
+
+    meta [B,C,>=16] uint32 umeta rows (embedded seq at cols 16:16+2*SW
+    when SW > 0); is_fwd/uoffc/ustart/rstart/w [B,C]; rw_cur [B,RWr]
+    packed read rows already orientation-selected; nm_rows [B,RWr]
+    packed N-mask rows (already zeroed where N must not count) or None.
+    Returns miss [B,C] int32 over the w-base window (validity unmasked).
+
+    Candidate side: fast path (SW > 0) reads the unitig's packed bases
+    from the SAME row gather that fetched the metadata (fwd at cols
+    16:16+SW, rc at 16+SW:16+2*SW, rc start already in RC coordinates).
+    Fallback: chunk-row gather into the halo'd pool (row fully covers
+    [ustart, ustart+w), w <= L <= halo).  All alignment is in-register
+    (masked log-roll + funnel shift) — no element gathers.
+    """
+    Bc, C = is_fwd.shape
+    RWr = rw_cur.shape[1]
+    SW = (ix.umeta.shape[1] - 16) // 2
+    if SW > 0:
+        prow = jnp.where(
+            is_fwd[..., None],
+            meta[..., 16 : 16 + SW],
+            meta[..., 16 + SW : 16 + 2 * SW],
+        )                                               # [B,C,SW]
+        if SW < W2 + 1:
+            prow = jnp.concatenate(
+                [prow, jnp.zeros(prow.shape[:-1] + (W2 + 1 - SW,),
+                                 jnp.uint32)], axis=-1,
+            )
+        prow = _roll_left(prow, ustart >> 4, max(SW - 1, 1))
+        sh_a = (2 * (ustart & 15)).astype(jnp.uint32)[:, :, None]
+    else:
+        g = uoffc + ustart                              # [B,C]
+        row_idx = (g >> _CHUNK_SHIFT) + jnp.where(
+            is_fwd, 0, ix.n_chunks
+        )
+        within = g & jnp.int32((1 << _CHUNK_SHIFT) - 1)
+        prow = ix.pool_rows[jnp.maximum(row_idx, 0)]    # [B,C,RW]
+        prow = _roll_left(prow, within >> 4,
+                          (1 << _CHUNK_SHIFT) // 16 - 1)
+        sh_a = (2 * (within & 15)).astype(jnp.uint32)[:, :, None]
+    a = _funnel(prow[..., :W2], prow[..., 1 : W2 + 1], sh_a)
+
+    # Read side: broadcast own packed row, roll to rstart.
+    brow = jnp.broadcast_to(rw_cur[:, None, :], (Bc, C, RWr))
+    brow = _roll_left(brow, rstart >> 4, Lw - 1)
+    sh_b = (2 * (rstart & 15)).astype(jnp.uint32)[:, :, None]
+    b = _funnel(brow[..., :W2], brow[..., 1 : W2 + 1], sh_b)
+
+    x = a ^ b
+    mismw = (x | (x >> 1)) & _LANE_LO
+    if nm_rows is not None:
+        nrow = jnp.broadcast_to(nm_rows[:, None, :], (Bc, C, RWr))
+        nrow = _roll_left(nrow, rstart >> 4, Lw - 1)
+        nb = _funnel(nrow[..., :W2], nrow[..., 1 : W2 + 1], sh_b)
+        mismw = mismw | nb
+    v = jnp.clip(
+        w[:, :, None]
+        - 16 * jnp.arange(W2, dtype=jnp.int32)[None, None, :],
+        0, 16,
+    )
+    lane_mask = jnp.where(
+        v >= 16, _FULL32,
+        (jnp.uint32(1) << (2 * v).astype(jnp.uint32)) - jnp.uint32(1),
+    ) & _LANE_LO
+    return jnp.sum(
+        jax.lax.population_count(mismw & lane_mask), axis=2,
+    ).astype(jnp.int32)
 
 
 def pack_paths(res: dict, pmax: int):
@@ -341,31 +465,25 @@ def align_batch(
         max_iters = 2 * E * 2 * L + 64
 
     lens = lens.astype(jnp.int32)
-    codes32 = codes.astype(jnp.uint32)
+    codes32, rc32, rwf, rwr, nmw = _read_images(codes, nmask, lens, RWr)
     col = jnp.arange(L, dtype=jnp.int32)[None, :]
-
-    # ---- reverse-complement read image (flip + masked log-roll;
-    #      RC('N') == 'A' == 3 - code) ----
-    lshift = (jnp.int32(L) - lens)[:, None]          # [B, 1]
-    flipped = jnp.flip(codes32, axis=1)
-    rc32 = jnp.where(
-        col < lens[:, None],
-        jnp.uint32(3) - _roll_left(flipped, lshift[:, 0], L - 1),
-        0,
-    )
-
-    # packed (16 bases/word) images for the junction compare
-    rwf = _pack_rows(codes32, RWr)
-    rwr = _pack_rows(rc32, RWr)
-    nmw = _pack_rows(nmask.astype(jnp.uint32), RWr)
 
     # ---- anchor scan ----
     # std: N encodes 3 throughout; buggy: rolled-in N encodes 0
-    # (reference str2num vs nuc2int quirk, see model.scan_kmers)
-    bcodes32 = jnp.where(nmask & (col >= k1), jnp.uint32(0), codes32)
+    # (reference str2num vs nuc2int quirk, see model.scan_kmers).
+    # The buggy scan differs from std only when the batch carries Ns;
+    # gate the extra k1-step scan behind the has-N cond.
+    has_n = jnp.any(nmask)
     std_hi, std_lo = _scan_kmer_pairs(codes32, k1, False)
-    bug_hi, bug_lo = _scan_kmer_pairs(bcodes32, k1, False)
     rcs_hi, rcs_lo = _scan_kmer_pairs(codes32, k1, True)
+
+    def _bug_scan():
+        bcodes32 = jnp.where(nmask & (col >= k1), jnp.uint32(0), codes32)
+        return _scan_kmer_pairs(bcodes32, k1, False)
+
+    bug_hi, bug_lo = jax.lax.cond(
+        has_n, _bug_scan, lambda: (std_hi, std_lo)
+    )
 
     scan_col = jnp.arange(Lk, dtype=jnp.int32)[None, :]
     valid = scan_col <= (lens - k1)[:, None]
@@ -393,7 +511,7 @@ def align_batch(
             ) & valid
             return m, m
         member1, member2 = jax.lax.cond(
-            jnp.any(nmask), _slow_members, _fast_members
+            has_n, _slow_members, _fast_members
         )
     else:
         member1 = _st_member(ix, rep1_hi, rep1_lo) & valid
@@ -404,19 +522,18 @@ def align_batch(
             r_lo = jnp.where(le2, std_lo, rcs_lo)
             return _st_member(ix, r_hi, r_lo) & valid
 
-        member2 = jax.lax.cond(jnp.any(nmask), _member2, lambda: member1)
+        member2 = jax.lax.cond(has_n, _member2, lambda: member1)
 
     # forward anchors: first E member1 hits, values = buggy fwd kmer
     apos_f, ahi_f, alo_f, n_fwd = _first_k_hits(member1, bug_hi, bug_lo, E)
 
-    # rc anchors: scanning the RC read visits fwd position len-k1-i at
-    # rc position i, with kmer value rc_std of that fwd position.
-    # mirror = flip + masked roll-left by (L - lens) (elementwise).
-    rsh = lshift[:, 0]
-    member_rc = _roll_left(jnp.flip(member2, axis=1), rsh, L - 1) & valid
-    vr_hi = _roll_left(jnp.flip(rcs_hi, axis=1), rsh, L - 1)
-    vr_lo = _roll_left(jnp.flip(rcs_lo, axis=1), rsh, L - 1)
-    apos_r, ahi_r, alo_r, n_rc = _first_k_hits(member_rc, vr_hi, vr_lo, E)
+    # rc anchors: scanning the RC read visits fwd position lens-k1-i at
+    # rc position i with kmer value rc_std of that fwd position — i.e.
+    # the RC read's e-th anchor is the fwd scan's (e+1)-th member from
+    # the END; extract directly via reversed ranks (no mirror rolls).
+    apos_r, ahi_r, alo_r, n_rc = _last_k_hits_rc(
+        member2, rcs_hi, rcs_lo, lens, k1, E
+    )
 
     if ablate == "scan":
         z = jnp.zeros((B,), jnp.int32)
@@ -431,6 +548,66 @@ def align_batch(
             res["paths"] = jnp.zeros((B, pmax), jnp.int32)
             res["plen"] = z
         return res
+
+    # greedy per-anchor walk inits (see _run_walks): walk starts LEFT at
+    # the anchor with the full budget; the right restart point is the
+    # anchor itself; nothing preloaded
+    zi = jnp.zeros((B, E), jnp.int32)
+    env = dict(
+        lens=lens, rwf=rwf, rwr=rwr, nmw=nmw, n_f=n_fwd, n_r=n_rc,
+        ph0_f=jnp.full((B, E), _LEFT, jnp.int32),
+        cur_hi0_f=ahi_f, cur_lo0_f=alo_f, pos0_f=apos_f,
+        ra_hi_f=ahi_f, ra_lo_f=alo_f, ra_pos_f=apos_f,
+        bud0_f=jnp.full((B, E), m, jnp.int32),
+        off0_f=zi, r0_f=zi, st0_f=zi,
+        ph0_r=jnp.full((B, E), _LEFT, jnp.int32),
+        cur_hi0_r=ahi_r, cur_lo0_r=alo_r, pos0_r=apos_r,
+        ra_hi_r=ahi_r, ra_lo_r=alo_r, ra_pos_r=apos_r,
+        bud0_r=jnp.full((B, E), m, jnp.int32),
+        off0_r=zi, r0_r=zi, st0_r=zi,
+    )
+    return _run_walks(
+        ix, env, k=k, E=E, pmax=pmax,
+        max_iters=max_iters, stage1_iters=stage1_iters, uncapped=uncapped,
+    )
+
+
+def _run_walks(
+    ix: IndexArrays,
+    env: dict,
+    *,
+    k: int,
+    E: int,
+    pmax: int,
+    max_iters: int,
+    stage1_iters: int,
+    uncapped: bool,
+):
+    """The batched walk state machine, generic over how walks start.
+
+    `env` carries the per-read loop constants (lens + packed read
+    images rwf/rwr/nmw) and per-anchor initial walk states, one set per
+    orientation (suffix _f / _r), each [B, E]:
+      ph0      initial phase (_LEFT, _RFIRST, or _DONE),
+      cur_*0   initial walk (k-1)-mer, pos0 initial read position,
+      ra_*     the RIGHT-walk restart point (kmer + pos) used when the
+               LEFT walk reaches the read start,
+      bud0     initial mismatch budget (negative = anchor already
+               failed, e.g. a dog-mode verify miss),
+      off0     preset path offset (dog-mode case 3/4),
+      r0       signed unitig ID preloaded into the right path buffer
+               (dog mode pins the anchored unitig; 0 = none),
+      st0      status to record when ph0 == _DONE (dog-mode case 4).
+    Greedy mode is the special case (LEFT at the anchor, full budget);
+    dog mode precomputes placement-case inits per anchor.
+    """
+    B = env["lens"].shape[0]
+    k1 = k - 1
+    RWr = env["rwf"].shape[1]
+    Lw = (RWr - 1) // 2       # read words (RWr = 2*Lw + 1, see caller)
+    W2 = Lw                   # compare words (window w <= L bases)
+    P = Lw * 16               # path buffer bound: >= read length, and
+    #                           every junction step advances >= 1 base
 
     state = dict(
         phase=jnp.full((B,), _FETCH, jnp.int32),
@@ -452,64 +629,60 @@ def align_batch(
         iters=jnp.zeros((), jnp.int32),
     )
 
-    # per-read constants the loop body needs; kept as an explicit dict
-    # so the tail stage can row-gather them for the compacted sub-batch
-    env = dict(
-        lens=lens, rwf=rwf, rwr=rwr, nmw=nmw,
-        apos_f=apos_f, ahi_f=ahi_f, alo_f=alo_f, n_fwd=n_fwd,
-        apos_r=apos_r, ahi_r=ahi_r, alo_r=alo_r, n_rc=n_rc,
-    )
-
     def bookkeep(s, env):
-        lens, n_fwd, n_rc = env["lens"], env["n_fwd"], env["n_rc"]
-        apos_f, ahi_f, alo_f = env["apos_f"], env["ahi_f"], env["alo_f"]
-        apos_r, ahi_r, alo_r = env["apos_r"], env["ahi_r"], env["alo_r"]
+        lens, n_f, n_r = env["lens"], env["n_f"], env["n_r"]
         phase, orient, aidx = s["phase"], s["orient"], s["aidx"]
         # --- FETCH resolution ---
         is_f = phase == _FETCH
-        n_cur = jnp.where(orient == 0, n_fwd, n_rc)
+        n_cur = jnp.where(orient == 0, n_f, n_r)
         have = aidx < n_cur
         fwd_exh = is_f & ~have & (orient == 0)
         rc_exh = is_f & ~have & (orient == 1)
-        st_noov = fwd_exh & (n_fwd == 0)
-        to_rc = fwd_exh & (n_fwd > 0)
-        st_rcno = rc_exh & (n_rc == 0)
-        st_fail = rc_exh & (n_rc > 0)
+        st_noov = fwd_exh & (n_f == 0)
+        to_rc = fwd_exh & (n_f > 0)
+        st_rcno = rc_exh & (n_r == 0)
+        st_fail = rc_exh & (n_r > 0)
         load = is_f & have
 
         ai = jnp.clip(aidx, 0, E - 1)
-        sel_pos = jnp.where(
-            orient == 0, _pick(apos_f, ai, E), _pick(apos_r, ai, E)
-        )
-        sel_hi = jnp.where(
-            orient == 0, _pick(ahi_f, ai, E), _pick(ahi_r, ai, E)
-        )
-        sel_lo = jnp.where(
-            orient == 0, _pick(alo_f, ai, E), _pick(alo_r, ai, E)
-        )
 
+        def sel(name):
+            return jnp.where(
+                orient == 0,
+                _pick(env[name + "_f"], ai, E),
+                _pick(env[name + "_r"], ai, E),
+            )
+
+        ph0 = sel("ph0")
         s = dict(s)
         s["status"] = jnp.where(
             st_noov, STATUS_NO_OVERLAP_FWD,
             jnp.where(st_rcno, STATUS_RC_NO_OVERLAP,
                       jnp.where(st_fail, STATUS_FAILED, s["status"])),
         )
+        s["status"] = jnp.where(
+            load & (ph0 == _DONE), sel("st0"), s["status"]
+        )
         s["phase"] = jnp.where(
             st_noov | st_rcno | st_fail, _DONE,
-            jnp.where(load, _LEFT, phase),
+            jnp.where(load, ph0, phase),
         )
         s["orient"] = jnp.where(to_rc, 1, orient)
         s["aidx"] = jnp.where(to_rc, 0, aidx)
-        s["a_hi"] = jnp.where(load, sel_hi, s["a_hi"])
-        s["a_lo"] = jnp.where(load, sel_lo, s["a_lo"])
-        s["a_pos"] = jnp.where(load, sel_pos, s["a_pos"])
-        s["cur_hi"] = jnp.where(load, sel_hi, s["cur_hi"])
-        s["cur_lo"] = jnp.where(load, sel_lo, s["cur_lo"])
-        s["pos"] = jnp.where(load, sel_pos, s["pos"])
-        s["budget"] = jnp.where(load, m, s["budget"])
+        s["a_hi"] = jnp.where(load, sel("ra_hi"), s["a_hi"])
+        s["a_lo"] = jnp.where(load, sel("ra_lo"), s["a_lo"])
+        s["a_pos"] = jnp.where(load, sel("ra_pos"), s["a_pos"])
+        s["cur_hi"] = jnp.where(load, sel("cur_hi0"), s["cur_hi"])
+        s["cur_lo"] = jnp.where(load, sel("cur_lo0"), s["cur_lo"])
+        s["pos"] = jnp.where(load, sel("pos0"), s["pos"])
+        s["budget"] = jnp.where(load, sel("bud0"), s["budget"])
         s["llen"] = jnp.where(load, 0, s["llen"])
-        s["rlen"] = jnp.where(load, 0, s["rlen"])
-        s["offset"] = jnp.where(load, 0, s["offset"])
+        r0 = sel("r0")
+        s["rlen"] = jnp.where(load, (r0 != 0).astype(jnp.int32), s["rlen"])
+        s["rbuf"] = s["rbuf"].at[:, 0].set(
+            jnp.where(load & (r0 != 0), r0, s["rbuf"][:, 0])
+        )
+        s["offset"] = jnp.where(load, sel("off0"), s["offset"])
 
         # --- LEFT at read start: offset 0, switch to right walk ---
         l0 = (s["phase"] == _LEFT) & (s["pos"] == 0)
@@ -601,64 +774,15 @@ def align_batch(
             jnp.where((mL | mRF)[:, None], ul - k1, jnp.minimum(ul, remc)),
         )
 
-        # ---- windowed compare: row gathers + in-register alignment.
-        # Candidate side.  Fast path (SW > 0): the meta row already
-        # carries the unitig's packed bases (fwd at cols 16:16+SW, rc at
-        # 16+SW:16+2*SW, rc window start already in RC coordinates) —
-        # zero extra gathers.  Fallback: chunk-row gather into the pool
-        # (row fully covers [ustart, ustart+w): w <= L <= halo).
-        SW = (ix.umeta.shape[1] - 16) // 2
-        if SW > 0:
-            prow = jnp.where(
-                is_fwd[..., None],
-                meta[..., 16 : 16 + SW],
-                meta[..., 16 + SW : 16 + 2 * SW],
-            )                                               # [B,4,SW]
-            if SW < W2 + 1:
-                prow = jnp.concatenate(
-                    [prow, jnp.zeros(prow.shape[:-1] + (W2 + 1 - SW,),
-                                     jnp.uint32)], axis=-1,
-                )
-            prow = _roll_left(prow, ustart >> 4, max(SW - 1, 1))
-            sh_a = (2 * (ustart & 15)).astype(jnp.uint32)[:, :, None]
-        else:
-            g = uoffc + ustart                              # [B,4]
-            row_idx = (g >> _CHUNK_SHIFT) + jnp.where(
-                is_fwd, 0, ix.n_chunks
-            )
-            within = g & jnp.int32((1 << _CHUNK_SHIFT) - 1)
-            prow = ix.pool_rows[jnp.maximum(row_idx, 0)]    # [B,4,RW]
-            prow = _roll_left(prow, within >> 4,
-                              (1 << _CHUNK_SHIFT) // 16 - 1)
-            sh_a = (2 * (within & 15)).astype(jnp.uint32)[:, :, None]
-        a = _funnel(prow[..., :W2], prow[..., 1 : W2 + 1], sh_a)
-
-        # Read side: broadcast own packed row, roll to rstart.
+        # windowed compare (row gathers + in-register alignment); the
+        # N-mask counts only for forward-oriented reads
         orient = s["orient"]
         rw_cur = jnp.where((orient == 0)[:, None], rwf, rwr)
-        brow = jnp.broadcast_to(rw_cur[:, None, :], (Bc, 4, RWr))
-        brow = _roll_left(brow, rstart >> 4, Lw - 1)
-        sh_b = (2 * (rstart & 15)).astype(jnp.uint32)[:, :, None]
-        b = _funnel(brow[..., :W2], brow[..., 1 : W2 + 1], sh_b)
-        nrow = jnp.broadcast_to(nmw[:, None, :], (Bc, 4, RWr))
-        nrow = _roll_left(nrow, rstart >> 4, Lw - 1)
-        nb = _funnel(nrow[..., :W2], nrow[..., 1 : W2 + 1], sh_b)
-        nb = jnp.where((orient == 0)[:, None, None], nb, jnp.uint32(0))
-
-        x = a ^ b
-        mismw = ((x | (x >> 1)) & _LANE_LO) | nb
-        v = jnp.clip(
-            w[:, :, None]
-            - 16 * jnp.arange(W2, dtype=jnp.int32)[None, None, :],
-            0, 16,
+        nm_cur = jnp.where((orient == 0)[:, None], nmw, jnp.uint32(0))
+        miss = _window_miss(
+            ix, meta, is_fwd, uoffc, ustart, rstart, w,
+            rw_cur, nm_cur, W2, Lw,
         )
-        lane_mask = jnp.where(
-            v >= 16, _FULL32,
-            (jnp.uint32(1) << (2 * v).astype(jnp.uint32)) - jnp.uint32(1),
-        ) & _LANE_LO
-        miss = jnp.sum(
-            jax.lax.population_count(mismw & lane_mask), axis=2,
-        ).astype(jnp.int32)
         miss = jnp.where(valid_c, miss, _BIG)
 
         bestj = jnp.argmin(miss, axis=1).astype(jnp.int32)
