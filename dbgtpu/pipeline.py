@@ -225,18 +225,11 @@ def run_pipeline(
         stats.map_seconds = time.monotonic() - t1
         return b"".join(paths_out), b"".join(na_out), stats
 
-    if impl == "python":
-        def stream(records):
-            return align_stream_python(graph, records, m, effort, mode, partial)
-    elif impl == "jax":
-        from .engine.runner import align_stream_jax
-
-        def stream(records):
-            return align_stream_jax(
-                graph, records, m, effort, batch_size=batch_size
-            )
-    else:
+    if impl != "python":
         raise ValueError(f"unknown impl {impl!r}")
+
+    def stream(records):
+        return align_stream_python(graph, records, m, effort, mode, partial)
 
     for rf in reads_files:
         for header, seq, status, path in stream(iter_reads(rf, k, fastq)):

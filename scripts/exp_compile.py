@@ -39,8 +39,8 @@ def main():
     jf = jax.jit(
         f,
         static_argnames=(
-            "k", "m", "effort", "probe_len", "max_iters", "pmax",
-            "stage1_iters",
+            "k", "m", "effort", "max_iters", "pmax", "stage1_iters",
+            "ablate",
         ),
     )
     t0 = time.monotonic()
