@@ -115,6 +115,11 @@ class IndexArrays(NamedTuple):
     pt_rows: jax.Array      # uint32 [nbp, 32] closure probe rows ((0,32)
     #                         when absent -> per-position scan fallback)
     pt_seed: jax.Array      # uint32 [] probe bucket-hash seed
+    at_fused: jax.Array     # uint32 [nba, 40] dog-mode anchor rows: 8
+    #                         slot keys (hi x8 | lo x8) ++ 8 slots x 3
+    #                         vals (uid, upos, ucanon); (0, 40) when the
+    #                         index was not built in dog mode
+    at_seed: jax.Array      # uint32 [] anchor bucket-hash seed
 
 
 # umeta column layout (index.device.build_device_index)
@@ -123,16 +128,22 @@ _C_BEG_HI, _C_BEG_LO, _C_END_HI, _C_END_LO = 2, 3, 4, 5
 _C_RCB_HI, _C_RCB_LO, _C_RCE_HI, _C_RCE_LO = 6, 7, 8, 9
 
 
+def _fuse_scan_table(t) -> np.ndarray:
+    """ScanTable -> fused [nb, 16 + 4*V] rows (keys ++ slot values), so
+    key compare and value select ride ONE row gather."""
+    nb = t.keys.shape[0]
+    return np.concatenate(
+        [t.keys, t.vals.reshape(nb, -1).view(np.uint32)], axis=1
+    )
+
+
 def index_to_device(di) -> IndexArrays:
     """DeviceIndex (numpy) -> IndexArrays (jnp)."""
     t = di.scan_tbl
     pt = getattr(di, "probe_tbl", None)
-    nb = t.keys.shape[0]
-    fused = np.concatenate(
-        [t.keys, t.vals.reshape(nb, -1).view(np.uint32)], axis=1
-    )
+    at = getattr(di, "anchor_scan", None)
     return IndexArrays(
-        st_fused=jnp.asarray(fused),
+        st_fused=jnp.asarray(_fuse_scan_table(t)),
         st_seed=jnp.uint32(t.seed),
         umeta=jnp.asarray(di.umeta),
         pool_rows=jnp.asarray(di.pool_rows),
@@ -140,6 +151,9 @@ def index_to_device(di) -> IndexArrays:
         pt_rows=(jnp.asarray(pt.rows) if pt is not None
                  else jnp.zeros((0, 32), jnp.uint32)),
         pt_seed=jnp.uint32(pt.seed if pt is not None else 0),
+        at_fused=(jnp.asarray(_fuse_scan_table(at)) if at is not None
+                  else jnp.zeros((0, 40), jnp.uint32)),
+        at_seed=jnp.uint32(at.seed if at is not None else 0),
     )
 
 
@@ -247,60 +261,52 @@ def _scan_kmer_pairs(codes32, n: int, complement: bool):
     return hi, lo
 
 
-def _first_k_hits(member, values_hi, values_lo, E: int):
-    """First E True positions per row (+ the value pairs there) via
-    masked sums — each selector mask has at most one True per row, so a
-    row reduction replaces the near-scalar take_along_axis gather."""
+def _masked_rank_extract(member, rank, values, E: int):
+    """Per row, the value tuple at the position whose 1-based `rank`
+    equals e+1, for e in [0, E): each selector mask has at most one True
+    per row, so a masked row-sum replaces the near-scalar
+    take_along_axis gather.  `values` is a tuple of [B, Lk] arrays (any
+    integer dtype); returns a tuple of [B, E] arrays."""
+    outs = []
+    for v in values:
+        zero = jnp.zeros((), v.dtype)
+        outs.append(jnp.stack(
+            [jnp.sum(jnp.where((rank == e + 1) & member, v, zero),
+                     axis=1, dtype=v.dtype) for e in range(E)],
+            axis=1,
+        ))
+    return tuple(outs)
+
+
+def _first_k_hits(member, values, E: int):
+    """First E True positions per row (+ the value tuple there).
+    Returns (pos [B, E], values tuple of [B, E], n [B])."""
     Lk = member.shape[1]
-    scan_col = jnp.arange(Lk, dtype=jnp.int32)[None, :]
+    scan_col = jnp.broadcast_to(
+        jnp.arange(Lk, dtype=jnp.int32)[None, :], member.shape
+    )
     cum = jnp.cumsum(member.astype(jnp.int32), axis=1)
     n = jnp.minimum(cum[:, -1], E)
-    pos_list, hi_list, lo_list = [], [], []
-    for e in range(E):
-        hm = (cum == e + 1) & member
-        pos_list.append(
-            jnp.sum(jnp.where(hm, scan_col, 0), axis=1).astype(jnp.int32)
-        )
-        hi_list.append(jnp.sum(jnp.where(hm, values_hi, jnp.uint32(0)),
-                               axis=1, dtype=jnp.uint32))
-        lo_list.append(jnp.sum(jnp.where(hm, values_lo, jnp.uint32(0)),
-                               axis=1, dtype=jnp.uint32))
-    return (
-        jnp.stack(pos_list, axis=1),
-        jnp.stack(hi_list, axis=1),
-        jnp.stack(lo_list, axis=1),
-        n.astype(jnp.int32),
-    )
+    outs = _masked_rank_extract(member, cum, (scan_col,) + tuple(values), E)
+    return outs[0], outs[1:], n.astype(jnp.int32)
 
 
-def _last_k_hits_rc(member, vhi, vlo, lens, k1: int, E: int):
+def _last_k_hits_rc(member, values, lens, n_mer: int, E: int):
     """RC-anchor extraction without mirroring the scan arrays: the
     (e+1)-th member counted from the END of the forward scan is the RC
-    read's e-th anchor, at rc-read position lens-k1-i with the rc kmer
-    value of fwd position i.  Same masked-sum trick as _first_k_hits."""
+    read's e-th anchor, at rc-read position lens - n_mer - i (fwd scan
+    position i), with the rc value of fwd position i.  `n_mer` is the
+    scan window length (k-1 for junction scans, k for dog anchors).
+    Returns (rc_pos [B, E], values tuple of [B, E], n [B])."""
     B, Lk = member.shape
     scan_col = jnp.arange(Lk, dtype=jnp.int32)[None, :]
     memi = member.astype(jnp.int32)
     cum = jnp.cumsum(memi, axis=1)
     total = cum[:, -1:]
     rev = total - cum + memi        # rank from the end (1-based at hits)
-    rcpos = lens[:, None] - k1 - scan_col
-    pos_list, hi_list, lo_list = [], [], []
-    for e in range(E):
-        hm = (rev == e + 1) & member
-        pos_list.append(
-            jnp.sum(jnp.where(hm, rcpos, 0), axis=1).astype(jnp.int32)
-        )
-        hi_list.append(jnp.sum(jnp.where(hm, vhi, jnp.uint32(0)),
-                               axis=1, dtype=jnp.uint32))
-        lo_list.append(jnp.sum(jnp.where(hm, vlo, jnp.uint32(0)),
-                               axis=1, dtype=jnp.uint32))
-    return (
-        jnp.stack(pos_list, axis=1),
-        jnp.stack(hi_list, axis=1),
-        jnp.stack(lo_list, axis=1),
-        jnp.minimum(total[:, 0], E).astype(jnp.int32),
-    )
+    rcpos = jnp.broadcast_to(lens[:, None] - n_mer - scan_col, member.shape)
+    outs = _masked_rank_extract(member, rev, (rcpos,) + tuple(values), E)
+    return outs[0], outs[1:], jnp.minimum(total[:, 0], E).astype(jnp.int32)
 
 
 def _pick(arrs, j, n: int):
@@ -525,14 +531,16 @@ def align_batch(
         member2 = jax.lax.cond(has_n, _member2, lambda: member1)
 
     # forward anchors: first E member1 hits, values = buggy fwd kmer
-    apos_f, ahi_f, alo_f, n_fwd = _first_k_hits(member1, bug_hi, bug_lo, E)
+    apos_f, (ahi_f, alo_f), n_fwd = _first_k_hits(
+        member1, (bug_hi, bug_lo), E
+    )
 
     # rc anchors: scanning the RC read visits fwd position lens-k1-i at
     # rc position i with kmer value rc_std of that fwd position — i.e.
     # the RC read's e-th anchor is the fwd scan's (e+1)-th member from
     # the END; extract directly via reversed ranks (no mirror rolls).
-    apos_r, ahi_r, alo_r, n_rc = _last_k_hits_rc(
-        member2, rcs_hi, rcs_lo, lens, k1, E
+    apos_r, (ahi_r, alo_r), n_rc = _last_k_hits_rc(
+        member2, (rcs_hi, rcs_lo), lens, k1, E
     )
 
     if ablate == "scan":
@@ -642,7 +650,6 @@ def _run_walks(
         to_rc = fwd_exh & (n_f > 0)
         st_rcno = rc_exh & (n_r == 0)
         st_fail = rc_exh & (n_r > 0)
-        load = is_f & have
 
         ai = jnp.clip(aidx, 0, E - 1)
 
@@ -652,6 +659,11 @@ def _run_walks(
                 _pick(env[name + "_f"], ai, E),
                 _pick(env[name + "_r"], ai, E),
             )
+
+        # an anchor preloaded with a negative budget already failed its
+        # placement verify (dog mode): skip straight to the next anchor
+        bad = is_f & have & (sel("bud0") < 0)
+        load = is_f & have & ~bad
 
         ph0 = sel("ph0")
         s = dict(s)
@@ -668,7 +680,7 @@ def _run_walks(
             jnp.where(load, ph0, phase),
         )
         s["orient"] = jnp.where(to_rc, 1, orient)
-        s["aidx"] = jnp.where(to_rc, 0, aidx)
+        s["aidx"] = jnp.where(to_rc, 0, jnp.where(bad, aidx + 1, aidx))
         s["a_hi"] = jnp.where(load, sel("ra_hi"), s["a_hi"])
         s["a_lo"] = jnp.where(load, sel("ra_lo"), s["a_lo"])
         s["a_pos"] = jnp.where(load, sel("ra_pos"), s["a_pos"])

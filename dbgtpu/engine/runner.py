@@ -79,6 +79,7 @@ def align_bulk(
     m: int,
     effort: int,
     batch_size: int = 8192,
+    mode: str = "greedy",
 ):
     """Bulk array alignment, input order preserved.
 
@@ -86,6 +87,14 @@ def align_bulk(
     where aligned reads' spans hold [offset, signed ids...] and
     non-aligned reads have empty spans.
     """
+    if mode == "greedy":
+        batch_fn = align_batch
+        from ..model import align_read_greedy as spec_align
+    elif mode == "anchors":
+        from ..anchors import align_read_greedy_anchors as spec_align
+        from .dog import align_batch_anchors as batch_fn
+    else:
+        raise ValueError(f"no device engine for mode {mode!r}")
     di = get_device_index(graph)
     ix = index_to_device(di)
     k = graph.k
@@ -106,12 +115,10 @@ def align_bulk(
             over = aligned & (plen > pmax)
             if over.any():
                 # rare fallback: recompute overflow rows on host
-                from ..model import align_read_greedy
-
                 for i in np.nonzero(over)[0]:
                     gi = s0 + int(i)
                     _, codes, nm = parsed.record(gi)
-                    st, path = align_read_greedy(graph, codes, nm, m, effort)
+                    st, path = spec_align(graph, codes, nm, m, effort)
                     status[i] = st
                     row = np.zeros(pmax, np.int32)
                     pl = 0
@@ -144,7 +151,7 @@ def align_bulk(
         nmask[:nb] = parsed.nmask[gidx] & valid
         blens = np.zeros(batch_size, np.int32)
         blens[:nb] = lens
-        res = align_batch(
+        res = batch_fn(
             ix, codes, nmask, blens,
             k=k, m=m, effort=effort,
             pmax=pmax,

@@ -401,8 +401,12 @@ class DeviceIndex:
     rcend_hi: np.ndarray
     rcend_lo: np.ndarray
     max_ulen: int
-    # dog-mode anchor table (k-mers -> (unitig, offset)); may be empty
-    anchor_tbl: HashTable | None = None
+    # dog-mode anchor table: canonical k-mer -> (uid, upos, ucanon)
+    # where ucanon says the unitig's k-mer at upos IS the canonical key
+    # (the engine derives anchor orientation by comparing it with the
+    # read k-mer's own canonicity, equivalent to the reference's string
+    # compare at alignerGreedy.cpp:75-82)
+    anchor_scan: ScanTable | None = None
     # ---- TPU fast-path layout (row-gather-only access patterns) ----
     scan_tbl: ScanTable | None = None   # junction keys, 1 gather/lookup
     umeta: np.ndarray | None = None     # int32 [U+1, 16] per-unitig row
@@ -437,13 +441,24 @@ def build_device_index(
     rcbeg_hi, rcbeg_lo = split64(rcbeg)
     rcend_hi, rcend_lo = split64(rcend)
 
-    anchor_tbl = None
+    anchor_scan = None
     if g.dog_mode and g.anchors:
-        akeys = np.array(sorted(g.anchors), dtype=np.uint64)
-        avals = np.array(
-            [list(g.anchors[int(a)]) for a in akeys], dtype=np.int32
+        akeys = np.fromiter(
+            g.anchors.keys(), np.uint64, count=len(g.anchors)
         )
-        anchor_tbl = build_hash_table(akeys, avals)
+        av = np.array(list(g.anchors.values()), np.int64)  # [n, 2]
+        # the unitig k-mer at each anchored offset, vectorized from the
+        # pool; ucanon = (it equals the canonical key)
+        pos = g.offsets[av[:, 0]] + av[:, 1]
+        jk = np.arange(g.k, dtype=np.int64)[None, :]
+        wk = (2 * (g.k - 1 - jk)).astype(np.uint64)
+        ukm = (g.pool[pos[:, None] + jk].astype(np.uint64) << wk).sum(
+            axis=1, dtype=np.uint64
+        )
+        avals = np.column_stack(
+            [av[:, 0], av[:, 1], (ukm == akeys).astype(np.int64)]
+        ).astype(np.int32)
+        anchor_scan = build_scan_table(akeys, avals)
 
     uoff = g.offsets.astype(np.int32)
     ulen = g.lengths.astype(np.int32)
@@ -500,7 +515,7 @@ def build_device_index(
         rcbeg_hi=rcbeg_hi, rcbeg_lo=rcbeg_lo,
         rcend_hi=rcend_hi, rcend_lo=rcend_lo,
         max_ulen=max_ulen,
-        anchor_tbl=anchor_tbl,
+        anchor_scan=anchor_scan,
         scan_tbl=scan_tbl,
         umeta=umeta,
         pool_rows=np.concatenate([fwd_rows, rc_rows], axis=0),

@@ -174,6 +174,52 @@ def test_exhaustive_reference_output_is_empty_ours_is_not(tmp_path):
     assert b"0.1.3.4.-6." in paths
 
 
+@pytest.mark.skipif(not reference_available(), reason="no reference")
+def test_dog_mode_fixture_byte_parity_jax(tmp_path):
+    ref_paths, ref_na, _ = run_reference(
+        FIXTURE_READS, FIXTURE_UNITIGS, k=4, extra_flags=["-G"]
+    )
+    paths, na, _ = _run(
+        tmp_path, FIXTURE_READS, FIXTURE_UNITIGS, k=4, mode="anchors",
+        impl="jax",
+    )
+    assert paths == ref_paths
+    assert na == ref_na
+
+
+@pytest.mark.parametrize("seed,k,m,n_frac,min_u,max_u", [
+    (201, 31, 2, 0.0, 40, 150),
+    (202, 15, 2, 0.0, 40, 150),
+    (203, 21, 1, 0.3, 40, 150),   # N-carrying reads
+    (204, 31, 0, 0.0, 40, 150),   # exact mode
+    (205, 15, 2, 0.0, 16, 40),    # short unitigs: cases 3/4 dominate
+])
+def test_dog_engine_vs_spec(tmp_path, seed, k, m, n_frac, min_u, max_u):
+    """Device dog mode == executable spec, byte for byte."""
+    reads_fa, unitigs_fa = synth.make_dataset(
+        seed=seed, genome_len=12000, k=k, n_reads=150, n_frac=n_frac,
+        min_unitig=min_u, max_unitig=max_u,
+    )
+    kw = dict(k=k, m=m, effort=2, mode="anchors", batch_size=64)
+    got = _run(tmp_path, reads_fa, unitigs_fa, impl="jax", **kw)
+    want = _run(tmp_path, reads_fa, unitigs_fa, impl="python", **kw)
+    assert got[0] == want[0]
+    assert got[1] == want[1]
+
+
+def test_dog_engine_vs_spec_long_reads_contained(tmp_path):
+    """Unitigs longer than the reads: placement cases 3/4 + RC."""
+    reads_fa, unitigs_fa = synth.make_dataset(
+        seed=206, genome_len=8000, k=21, n_reads=120,
+        min_unitig=150, max_unitig=400, read_len=80,
+    )
+    kw = dict(k=21, m=2, effort=2, mode="anchors", batch_size=64)
+    got = _run(tmp_path, reads_fa, unitigs_fa, impl="jax", **kw)
+    want = _run(tmp_path, reads_fa, unitigs_fa, impl="python", **kw)
+    assert got[0] == want[0]
+    assert got[1] == want[1]
+
+
 def test_anchor_table_excludes_final_kmer():
     k = 5
     u = b"ACGTACGGA"
