@@ -412,6 +412,104 @@ def _window_miss(
     ).astype(jnp.int32)
 
 
+def _junction_probe(
+    ix: IndexArrays, mL, mRF, bhi, blo, pos, lens, rw_cur, nm_cur,
+    W2: int, Lw: int, k1: int,
+):
+    """One junction evaluation: fused-row candidate lookup for the
+    (k-1)-mer (bhi, blo) + windowed Hamming of all <=4 candidates
+    against the read, for the walk phase encoded by the (mL, mRF) masks
+    (mRC = ~mL & ~mRF).  Shared by the greedy junction step and the
+    exhaustive DFS.  Returns a dict of [B, 4] candidate arrays:
+    valid, sid (signed), is_fwd, miss, ended, ul, ust (window start in
+    the oriented unitig = the path offset when ended on a LEFT walk),
+    nxt_{l,r}_{hi,lo} (the follow-on junction kmers).
+    """
+    rhi, rlo = rcb_pair(bhi, blo, k1)
+    is_canon = pair_le(bhi, blo, rhi, rlo)
+    chi = jnp.where(is_canon, bhi, rhi)
+    clo = jnp.where(is_canon, blo, rlo)
+    # ONE fused-row gather: slot-key compare + value select (each ok
+    # mask has at most one True slot, so a masked row-sum replaces the
+    # second (st_vals) gather)
+    nbm = jnp.uint32(ix.st_fused.shape[0] - 1)
+    frow = ix.st_fused[
+        (mix32(chi ^ ix.st_seed, clo) & nbm).astype(jnp.int32)
+    ]                                                   # [B, 80]
+    okf = (frow[:, 0:8] == chi[:, None]) & (
+        frow[:, 8:16] == clo[:, None]
+    )
+    vals8 = jnp.sum(
+        jnp.where(okf[:, :, None],
+                  frow[:, 16:80].reshape(-1, 8, 8), jnp.uint32(0)),
+        axis=1, dtype=jnp.uint32,
+    ).astype(jnp.int32)                                 # [B, 8]
+    found = jnp.any(okf, axis=1)
+    use_right = jnp.where(mL, is_canon, ~is_canon)
+    cands = jnp.where(use_right[:, None], vals8[:, 4:8], vals8[:, 0:4])
+    cands = jnp.where(found[:, None], cands, 0)         # [B, 4]
+    valid_c = cands > 0
+
+    # candidate metadata: one [B,4]-indexed row gather
+    meta = jax.lax.bitcast_convert_type(
+        ix.umeta[cands], jnp.uint32
+    )                                                   # [B,4,16+]
+    uoffc = meta[..., _C_UOFF].astype(jnp.int32)
+    ul = meta[..., _C_ULEN].astype(jnp.int32)
+
+    # orientation: LEFT wants unitigs ENDING with bin, RIGHT wants
+    # unitigs BEGINNING with bin; forward iff that extremity matches
+    ext_hi = jnp.where(mL[:, None], meta[..., _C_END_HI],
+                       meta[..., _C_BEG_HI])
+    ext_lo = jnp.where(mL[:, None], meta[..., _C_END_LO],
+                       meta[..., _C_BEG_LO])
+    is_fwd = (ext_hi == bhi[:, None]) & (ext_lo == blo[:, None])
+
+    rem = jnp.where(mL, pos, jnp.where(mRF, lens - pos - k1, lens - pos))
+    remc = rem[:, None]
+    ended = (ul - k1) >= remc
+
+    # window parameters (see model._walk_left/_walk_right)
+    ustart = jnp.where(
+        mL[:, None] & ended, ul - remc - k1,
+        jnp.where(mRF[:, None], k1, 0),
+    )
+    rstart = jnp.where(
+        mL[:, None],
+        jnp.where(ended, 0, pos[:, None] - (ul - k1)),
+        jnp.where(mRF[:, None], (pos + k1)[:, None], pos[:, None]),
+    )
+    w = jnp.where(
+        ended, remc,
+        jnp.where((mL | mRF)[:, None], ul - k1, jnp.minimum(ul, remc)),
+    )
+    miss = _window_miss(
+        ix, meta, is_fwd, uoffc, ustart, rstart, w,
+        rw_cur, nm_cur, W2, Lw,
+    )
+
+    # next-walk kmers per candidate, from its meta row:
+    # LEFT : fwd -> begin kmer, rc -> rc(end kmer)
+    # RIGHT: fwd -> end kmer,   rc -> rc(begin kmer)
+    return dict(
+        valid=valid_c,
+        sid=jnp.where(is_fwd, cands, -cands),
+        is_fwd=is_fwd,
+        miss=miss,
+        ended=ended,
+        ul=ul,
+        ust=ustart,
+        nxt_l_hi=jnp.where(is_fwd, meta[..., _C_BEG_HI],
+                           meta[..., _C_RCE_HI]),
+        nxt_l_lo=jnp.where(is_fwd, meta[..., _C_BEG_LO],
+                           meta[..., _C_RCE_LO]),
+        nxt_r_hi=jnp.where(is_fwd, meta[..., _C_END_HI],
+                           meta[..., _C_RCB_HI]),
+        nxt_r_lo=jnp.where(is_fwd, meta[..., _C_END_LO],
+                           meta[..., _C_RCB_LO]),
+    )
+
+
 def pack_paths(res: dict, pmax: int):
     """Device-side path compaction: [B, pmax] int32 where row i holds
     [offset, reversed left ids, right ids]; plus plen [B] (clamped to
@@ -727,75 +825,16 @@ def _run_walks(
         pos = s["pos"]
         bhi, blo = s["cur_hi"], s["cur_lo"]
 
-        rhi, rlo = rcb_pair(bhi, blo, k1)
-        is_canon = pair_le(bhi, blo, rhi, rlo)
-        chi = jnp.where(is_canon, bhi, rhi)
-        clo = jnp.where(is_canon, blo, rlo)
-        # ONE fused-row gather: slot-key compare + value select (each
-        # ok mask has at most one True slot, so a masked row-sum
-        # replaces the second (st_vals) gather)
-        nbm = jnp.uint32(ix.st_fused.shape[0] - 1)
-        frow = ix.st_fused[
-            (mix32(chi ^ ix.st_seed, clo) & nbm).astype(jnp.int32)
-        ]                                                   # [B, 80]
-        okf = (frow[:, 0:8] == chi[:, None]) & (
-            frow[:, 8:16] == clo[:, None]
-        )
-        vals8 = jnp.sum(
-            jnp.where(okf[:, :, None],
-                      frow[:, 16:80].reshape(-1, 8, 8), jnp.uint32(0)),
-            axis=1, dtype=jnp.uint32,
-        ).astype(jnp.int32)                                 # [B, 8]
-        found = jnp.any(okf, axis=1)
-        use_right = jnp.where(mL, is_canon, ~is_canon)
-        cands = jnp.where(use_right[:, None], vals8[:, 4:8], vals8[:, 0:4])
-        cands = jnp.where(found[:, None], cands, 0)         # [B, 4]
-        valid_c = cands > 0
-
-        # candidate metadata: one [B,4]-indexed row gather
-        meta = jax.lax.bitcast_convert_type(
-            ix.umeta[cands], jnp.uint32
-        )                                                   # [B,4,16]
-        uoffc = meta[..., _C_UOFF].astype(jnp.int32)
-        ul = meta[..., _C_ULEN].astype(jnp.int32)
-
-        # orientation: LEFT wants unitigs ENDING with bin, RIGHT wants
-        # unitigs BEGINNING with bin; forward iff that extremity matches
-        ext_hi = jnp.where(mL[:, None], meta[..., _C_END_HI],
-                           meta[..., _C_BEG_HI])
-        ext_lo = jnp.where(mL[:, None], meta[..., _C_END_LO],
-                           meta[..., _C_BEG_LO])
-        is_fwd = (ext_hi == bhi[:, None]) & (ext_lo == blo[:, None])
-
-        rem = jnp.where(mL, pos, jnp.where(mRF, lens - pos - k1, lens - pos))
-        remc = rem[:, None]
-        ended = (ul - k1) >= remc
-
-        # window parameters (see model._walk_left/_walk_right)
-        ustart = jnp.where(
-            mL[:, None] & ended, ul - remc - k1,
-            jnp.where(mRF[:, None], k1, 0),
-        )
-        rstart = jnp.where(
-            mL[:, None],
-            jnp.where(ended, 0, pos[:, None] - (ul - k1)),
-            jnp.where(mRF[:, None], (pos + k1)[:, None], pos[:, None]),
-        )
-        w = jnp.where(
-            ended, remc,
-            jnp.where((mL | mRF)[:, None], ul - k1, jnp.minimum(ul, remc)),
-        )
-
-        # windowed compare (row gathers + in-register alignment); the
-        # N-mask counts only for forward-oriented reads
+        # windowed compare reads the orientation-selected packed rows;
+        # the N-mask counts only for forward-oriented reads
         orient = s["orient"]
         rw_cur = jnp.where((orient == 0)[:, None], rwf, rwr)
         nm_cur = jnp.where((orient == 0)[:, None], nmw, jnp.uint32(0))
-        miss = _window_miss(
-            ix, meta, is_fwd, uoffc, ustart, rstart, w,
-            rw_cur, nm_cur, W2, Lw,
+        p = _junction_probe(
+            ix, mL, mRF, bhi, blo, pos, lens, rw_cur, nm_cur,
+            W2, Lw, k1,
         )
-        miss = jnp.where(valid_c, miss, _BIG)
+        miss = jnp.where(p["valid"], p["miss"], _BIG)
 
         bestj = jnp.argmin(miss, axis=1).astype(jnp.int32)
 
@@ -803,12 +842,11 @@ def _run_walks(
             return _pick(x, bestj, 4)
 
         best = sel(miss)
-        cand_s = sel(cands)
-        fwd_s = sel(is_fwd)
-        end_s = sel(ended)
-        ul_s = sel(ul)
-        ust_s = sel(ustart)
-        sid = jnp.where(fwd_s, cand_s, -cand_s)
+        fwd_s = sel(p["is_fwd"])
+        end_s = sel(p["ended"])
+        ul_s = sel(p["ul"])
+        ust_s = sel(p["ust"])
+        sid = sel(p["sid"])
 
         ok = active & (best <= s["budget"])
         fail = active & (best > s["budget"])
@@ -829,16 +867,10 @@ def _run_walks(
         s["rlen"] = s["rlen"] + push_r.astype(jnp.int32)
         s["budget"] = jnp.where(ok, s["budget"] - best, s["budget"])
 
-        # next-walk kmers for the selected candidate, from its meta row:
-        # LEFT : fwd -> begin kmer, rc -> rc(end kmer)
-        # RIGHT: fwd -> end kmer,   rc -> rc(begin kmer)
-        def fsel(c):
-            return sel(meta[..., c])
-
-        nxt_l_hi = jnp.where(fwd_s, fsel(_C_BEG_HI), fsel(_C_RCE_HI))
-        nxt_l_lo = jnp.where(fwd_s, fsel(_C_BEG_LO), fsel(_C_RCE_LO))
-        nxt_r_hi = jnp.where(fwd_s, fsel(_C_END_HI), fsel(_C_RCB_HI))
-        nxt_r_lo = jnp.where(fwd_s, fsel(_C_END_LO), fsel(_C_RCB_LO))
+        nxt_l_hi = sel(p["nxt_l_hi"])
+        nxt_l_lo = sel(p["nxt_l_lo"])
+        nxt_r_hi = sel(p["nxt_r_hi"])
+        nxt_r_lo = sel(p["nxt_r_lo"])
 
         # LEFT ended -> record offset, restart from anchor going right
         le = ok & mL & end_s

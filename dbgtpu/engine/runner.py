@@ -80,6 +80,7 @@ def align_bulk(
     effort: int,
     batch_size: int = 8192,
     mode: str = "greedy",
+    partial: bool = False,
 ):
     """Bulk array alignment, input order preserved.
 
@@ -88,11 +89,40 @@ def align_bulk(
     non-aligned reads have empty spans.
     """
     if mode == "greedy":
-        batch_fn = align_batch
-        from ..model import align_read_greedy as spec_align
+        from ..model import align_read_greedy
+
+        def batch_fn(ix, codes, nmask, lens, *, k, m, pmax):
+            return align_batch(
+                ix, codes, nmask, lens, k=k, m=m, effort=effort,
+                pmax=pmax,
+            )
+
+        def spec_align(graph, codes, nm):
+            return align_read_greedy(graph, codes, nm, m, effort)
     elif mode == "anchors":
-        from ..anchors import align_read_greedy_anchors as spec_align
-        from .dog import align_batch_anchors as batch_fn
+        from ..anchors import align_read_greedy_anchors
+        from .dog import align_batch_anchors
+
+        def batch_fn(ix, codes, nmask, lens, *, k, m, pmax):
+            return align_batch_anchors(
+                ix, codes, nmask, lens, k=k, m=m, effort=effort,
+                pmax=pmax,
+            )
+
+        def spec_align(graph, codes, nm):
+            return align_read_greedy_anchors(graph, codes, nm, m, effort)
+    elif mode == "exhaustive":
+        from ..exhaustive import align_read_exhaustive
+        from .exhaustive import align_batch_exhaustive
+
+        def batch_fn(ix, codes, nmask, lens, *, k, m, pmax):
+            return align_batch_exhaustive(
+                ix, codes, nmask, lens, k=k, m=m, partial=partial,
+                pmax=pmax,
+            )
+
+        def spec_align(graph, codes, nm):
+            return align_read_exhaustive(graph, codes, nm, m, partial)
     else:
         raise ValueError(f"no device engine for mode {mode!r}")
     di = get_device_index(graph)
@@ -118,7 +148,7 @@ def align_bulk(
                 for i in np.nonzero(over)[0]:
                     gi = s0 + int(i)
                     _, codes, nm = parsed.record(gi)
-                    st, path = spec_align(graph, codes, nm, m, effort)
+                    st, path = spec_align(graph, codes, nm)
                     status[i] = st
                     row = np.zeros(pmax, np.int32)
                     pl = 0
@@ -153,8 +183,7 @@ def align_bulk(
         blens[:nb] = lens
         res = batch_fn(
             ix, codes, nmask, blens,
-            k=k, m=m, effort=effort,
-            pmax=pmax,
+            k=k, m=m, pmax=pmax,
         )
         pending.append((s0, res, nb, pmax))
         if len(pending) >= 4:  # keep a short device pipeline

@@ -96,14 +96,15 @@ def _format_paths_python(headers, hdr_off, status, path_off, flat):
 
 def _run_file_bulk(
     graph, rf, m, effort, fastq, correction, batch_size,
-    stats, paths_out, na_out, mode="greedy",
+    stats, paths_out, na_out, mode="greedy", partial=False,
 ):
     from . import native
     from .engine.runner import align_bulk
 
     parsed = native.parse_reads(rf, graph.k, fastq)
     status, path_off, flat = align_bulk(
-        graph, parsed, m, effort, batch_size=batch_size, mode=mode
+        graph, parsed, m, effort, batch_size=batch_size, mode=mode,
+        partial=partial,
     )
     stats.read_number += parsed.n
     aligned = (status == STATUS_ALIGNED_FWD) | (status == STATUS_ALIGNED_RC)
@@ -210,8 +211,8 @@ def run_pipeline(
     na_out: list[bytes] = []
     t1 = time.monotonic()
 
-    if mode not in ("greedy", "anchors") and impl == "jax":
-        # exhaustive/paths modes run on the executable spec for now
+    if mode not in ("greedy", "anchors", "exhaustive") and impl == "jax":
+        # path modes run on the executable spec (reference-dead code)
         impl = "python"
 
     if impl == "jax":
@@ -219,7 +220,7 @@ def run_pipeline(
         for rf in reads_files:
             _run_file_bulk(
                 graph, rf, m, effort, fastq, correction, batch_size,
-                stats, paths_out, na_out, mode=mode,
+                stats, paths_out, na_out, mode=mode, partial=partial,
             )
         stats.map_seconds = time.monotonic() - t1
         return b"".join(paths_out), b"".join(na_out), stats

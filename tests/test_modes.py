@@ -220,6 +220,38 @@ def test_dog_engine_vs_spec_long_reads_contained(tmp_path):
     assert got[1] == want[1]
 
 
+@pytest.mark.parametrize("seed,k,m,n_frac,partial", [
+    (301, 31, 2, 0.0, False),
+    (302, 15, 2, 0.0, False),
+    (303, 21, 1, 0.3, False),     # N-carrying reads (quirky anchors)
+    (304, 21, 2, 0.0, True),      # -i partial acceptance
+    (305, 15, 2, 0.0, False),
+])
+def test_exhaustive_engine_vs_spec(tmp_path, seed, k, m, n_frac, partial):
+    """Device exhaustive DFS == executable spec, byte for byte."""
+    reads_fa, unitigs_fa = synth.make_dataset(
+        seed=seed, genome_len=9000, k=k, n_reads=120, n_frac=n_frac,
+    )
+    kw = dict(k=k, m=m, mode="exhaustive", partial=partial,
+              batch_size=64)
+    got = _run(tmp_path, reads_fa, unitigs_fa, impl="jax", **kw)
+    want = _run(tmp_path, reads_fa, unitigs_fa, impl="python", **kw)
+    assert got[0] == want[0]
+    assert got[1] == want[1]
+
+
+def test_exhaustive_engine_fixture(tmp_path):
+    paths, _, _ = _run(
+        tmp_path, FIXTURE_READS, FIXTURE_UNITIGS, k=4,
+        mode="exhaustive", impl="jax",
+    )
+    want, _, _ = _run(
+        tmp_path, FIXTURE_READS, FIXTURE_UNITIGS, k=4,
+        mode="exhaustive", impl="python",
+    )
+    assert paths == want
+
+
 def test_anchor_table_excludes_final_kmer():
     k = 5
     u = b"ACGTACGGA"
