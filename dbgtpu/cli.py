@@ -67,12 +67,44 @@ def make_parser() -> argparse.ArgumentParser:
                         "(-g/-k are then ignored)")
     p.add_argument("--json-summary", metavar="FILE",
                    help="write a structured run summary (JSON)")
+    p.add_argument("--mesh", dest="mesh", type=int, default=0,
+                   metavar="N",
+                   help="shard device batches over the first N local "
+                        "devices (-1 = all) via shard_map (jax impl)")
+    p.add_argument("--coordinator", metavar="HOST:PORT",
+                   help="jax.distributed coordinator address "
+                        "(multi-host runs)")
+    p.add_argument("--num-processes", type=int, default=1,
+                   help="total processes in a multi-host run; this "
+                        "process maps a contiguous record range of "
+                        "every input file and writes "
+                        "<out>.shard<process-id>")
+    p.add_argument("--process-id", type=int, default=0,
+                   help="this process's id in a multi-host run")
+    p.add_argument("--merge-shards", type=int, default=0, metavar="N",
+                   help="merge <paths>.shard0..N-1 and "
+                        "<notAligned>.shard0..N-1 written by a "
+                        "multi-host run, then exit")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = make_parser().parse_args(argv)
     from .pipeline import run_pipeline
+
+    if args.merge_shards:
+        from .dist.multihost import merge_shards
+
+        merge_shards(args.paths_file, args.merge_shards)
+        merge_shards(args.not_aligned_file, args.merge_shards)
+        return 0
+
+    if args.num_processes > 1 and args.coordinator:
+        from .dist.multihost import init_distributed
+
+        init_distributed(
+            args.coordinator, args.num_processes, args.process_id
+        )
 
     graph = None
     if args.load_index:
@@ -103,10 +135,19 @@ def main(argv: list[str] | None = None) -> int:
         partial=args.partial,
         graph=graph,
         save_index=args.save_index,
+        mesh_devices=args.mesh,
+        process_id=args.process_id,
+        num_processes=args.num_processes,
     )
-    with open(args.paths_file, "wb") as f:
+    paths_file, na_file = args.paths_file, args.not_aligned_file
+    if args.num_processes > 1:
+        from .dist.multihost import shard_path
+
+        paths_file = shard_path(paths_file, args.process_id)
+        na_file = shard_path(na_file, args.process_id)
+    with open(paths_file, "wb") as f:
         f.write(paths)
-    with open(args.not_aligned_file, "wb") as f:
+    with open(na_file, "wb") as f:
         f.write(na)
     print(f"Indexing in seconds : {int(stats.index_seconds)}")
     for rf in reads_files:

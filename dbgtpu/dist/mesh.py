@@ -77,3 +77,26 @@ def align_batch_sharded(
         check_vma=False,
     )
     return fn(ix, codes, nmask, lens)
+
+
+def shard_batch_fn(mesh: Mesh, batch_fn):
+    """Wrap a single-device engine call (any mode's align_batch_* with
+    its static args already bound, returning a dict with at least
+    status/paths/plen) so the batch axis is sharded over the mesh and
+    only the compact results + a psum'd status histogram leave the
+    device.  This is the production sharded path used by the runner
+    (the reference's thread pool equivalent, aligner.cpp:550-597)."""
+
+    def shard_fn(ix, codes, nmask, lens):
+        res = batch_fn(ix, codes, nmask, lens)
+        out = {kk: res[kk] for kk in ("status", "paths", "plen")}
+        counts = jax.lax.psum(status_counts(res["status"]), READS_AXIS)
+        return out, counts
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(READS_AXIS), P(READS_AXIS), P(READS_AXIS)),
+        out_specs=(P(READS_AXIS), P()),
+        check_vma=False,
+    )

@@ -7,6 +7,7 @@ align_batch, and unpacks per-read paths in input order.
 
 from __future__ import annotations
 
+import functools
 from typing import Iterator, Tuple
 
 import numpy as np
@@ -81,12 +82,18 @@ def align_bulk(
     batch_size: int = 8192,
     mode: str = "greedy",
     partial: bool = False,
+    mesh=None,                   # jax.sharding.Mesh: shard batches over it
 ):
     """Bulk array alignment, input order preserved.
 
     Returns (status int32 [N], path_off int64 [N+1], paths_flat int32)
     where aligned reads' spans hold [offset, signed ids...] and
     non-aligned reads have empty spans.
+
+    With `mesh`, every batch is sharded over the mesh's reads axis
+    (index replicated, packed paths computed per shard on device, stats
+    psum-reduced) — the multi-chip path; output bytes are identical to
+    the single-device run.
     """
     if mode == "greedy":
         from ..model import align_read_greedy
@@ -128,6 +135,20 @@ def align_bulk(
     di = get_device_index(graph)
     ix = index_to_device(di)
     k = graph.k
+    if mesh is not None:
+        from ..dist.mesh import shard_batch_fn
+
+        nmesh = mesh.devices.size
+        if batch_size % nmesh:
+            batch_size = ((batch_size + nmesh - 1) // nmesh) * nmesh
+        inner = batch_fn
+
+        def batch_fn(ix, codes, nmask, lens, *, k, m, pmax):
+            bound = functools.partial(inner, k=k, m=m, pmax=pmax)
+            res, _counts = shard_batch_fn(mesh, bound)(
+                ix, codes, nmask, lens
+            )
+            return res
     N = parsed.n
     lens_all = np.diff(parsed.seq_off).astype(np.int32)
     status_all = np.zeros(N, np.int32)

@@ -47,6 +47,12 @@ class UnitigGraph:
     right: Dict[int, List[int]] = field(default_factory=dict)
     anchors: Dict[int, Tuple[int, int]] = field(default_factory=dict)
     dog_mode: bool = False
+    # vectorized junction slot table (same content as left/right, the
+    # form build_device_index consumes without a per-key python loop):
+    # jkeys uint64 [nj] sorted canonical keys; jvals int32 [nj, 8]
+    # (cols 0:4 left slots, 4:8 right slots)
+    jkeys: np.ndarray | None = None
+    jvals: np.ndarray | None = None
 
     def unitig_codes(self, sid: int) -> np.ndarray:
         """Oriented unitig codes; negative sid = reverse complement."""
@@ -154,6 +160,31 @@ def build_graph_from_seqs(seqs: List[bytes], k: int, dog_mode: bool = False) -> 
     end_right = end <= rc_end
     bkeys = np.where(beg_left, beg, rc_beg)
     ekeys = np.where(end_right, end, rc_end)
+
+    # vectorized slot table (reference insert order: unitigs ascending,
+    # begin before end, aligner.cpp:479-531): records interleaved in
+    # insertion order; per (key, side) group the r-th insert fills slot
+    # min(r, 3) — duplicate fancy-assignment targets keep the LAST
+    # write, which IS the reference's slot-4 overwrite rule
+    keys_all = np.empty(2 * n, np.uint64)
+    keys_all[0::2] = bkeys
+    keys_all[1::2] = ekeys
+    side_all = np.empty(2 * n, np.int64)     # 0 = left, 1 = right
+    side_all[0::2] = np.where(beg_left, 0, 1)
+    side_all[1::2] = np.where(end_right, 1, 0)
+    uid_all = np.repeat(np.arange(1, n + 1, dtype=np.int32), 2)
+    g.jkeys, inv = np.unique(keys_all, return_inverse=True)
+    gid = inv.astype(np.int64) * 2 + side_all
+    order = np.argsort(gid, kind="stable")
+    gs = gid[order]
+    newg = np.r_[True, gs[1:] != gs[:-1]]
+    gstart = np.maximum.accumulate(np.where(newg, np.arange(2 * n), 0))
+    rank = np.empty(2 * n, np.int64)
+    rank[order] = np.arange(2 * n) - gstart
+    slot = np.minimum(rank, 3)
+    g.jvals = np.zeros((len(g.jkeys), 8), np.int32)
+    g.jvals[inv, side_all * 4 + slot] = uid_all
+
     for i in range(1, n + 1):
         if beg_left[i - 1]:
             _slot_insert(g.left, int(bkeys[i - 1]), i)

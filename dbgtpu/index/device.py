@@ -15,6 +15,9 @@ a per-key python loop, so multi-million-key graphs build fast on host.
 
 from __future__ import annotations
 
+import logging
+import os
+
 from dataclasses import dataclass
 
 import numpy as np
@@ -213,63 +216,151 @@ class ProbeTable:
     window: int = 4
 
 
-# skip the probe table above this many junction keys (host build memory
-# for the 41x closure keyset; the engine falls back to per-position
-# membership probes).  ~4M keys -> ~160M closure keys ~ 6 GB host peak.
-PROBE_TABLE_MAX_KEYS = 4_000_000
+# skip the probe table when its device rows would exceed this budget
+# (the 41x closure keyset makes the table the largest index artifact;
+# the engine then falls back to exact per-position membership probes —
+# correct, ~4x more scan gathers).  Overridable for experiments.
+PROBE_TABLE_MAX_BYTES = int(os.environ.get(
+    "DBGTPU_PROBE_TABLE_MAX_BYTES", 2 << 30
+))
+
+_log = logging.getLogger("dbgtpu.index")
+
+
+def _rc2(cc: np.ndarray) -> np.ndarray:
+    """Reverse-complement of a 2-base code pair (b0b1 -> comp swapped)."""
+    cc = np.asarray(cc, np.uint64)
+    three = np.uint64(3)
+    return (((three - (cc & three)) << np.uint64(2))
+            | (three - (cc >> np.uint64(2))))
 
 
 def build_probe_table(s_keys: np.ndarray, k1: int) -> ProbeTable | None:
-    """s_keys: uint64 canonical junction keys (the ScanTable keyset)."""
-    from ..seq import rcb
+    """s_keys: uint64 canonical junction keys (the ScanTable keyset).
 
+    Scatter-inversion build: rather than querying, for every closure
+    key, whether each of its 48 oriented neighbours is a junction key
+    (49 canon+searchsorted passes over 41|S| keys — the former
+    bottleneck), iterate the |S±| junction keys themselves and SCATTER
+    their membership into the neighbouring closure keys' bit words:
+    w = succ1(zo, c) ∈ S± enumerates exactly the (z, o, c) triples
+    whose succ1 bit is set, via zo = (w>>2)|(b0<<top) over the 4 top
+    bases b0 (and symmetrically for pred1/succ2).  All reverse
+    complements come from ONE rcb over S± plus shift identities
+    (rcb(succ1(w, c)) = ((3-c)<<top) | (rcb(w)>>2), etc.), so the build
+    does 24|S±| scatter emissions instead of 196|S±| query-side rcb +
+    searchsorted operations.  Closure closedness (canon(pred(x)) =
+    canon(succ1(rcb(x))) ∈ keys since S± is rc-closed) guarantees every
+    emission lands on an existing key; tests/test_probe.py checks the
+    result against a direct per-key query oracle."""
     S = np.sort(np.asarray(s_keys, np.uint64))
     n = len(S)
-    if n == 0 or n > PROBE_TABLE_MAX_KEYS:
+    if n == 0 or k1 < 3:
         return None
     mask = np.uint64((1 << (2 * k1)) - 1)
+    top = np.uint64(2 * (k1 - 1))
+    u2, u3, u4 = np.uint64(2), np.uint64(3), np.uint64(4)
 
-    def canon(v):
-        return np.minimum(v, rcb(v, k1))
+    from ..seq import rcb
 
-    def in_s(v):
-        i = np.searchsorted(S, v)
-        i = np.minimum(i, n - 1)
-        return S[i] == v
-
-    s_or = np.unique(np.concatenate([S, rcb(S, k1)]))
+    s_pm = np.unique(np.concatenate([S, rcb(S, k1)]))   # S±, rc-closed
+    rc_pm = rcb(s_pm, k1)
     c4 = np.arange(4, dtype=np.uint64)
     c16 = np.arange(16, dtype=np.uint64)
-    succ1 = ((s_or[:, None] << np.uint64(2)) | c4[None, :]) & mask
-    succ2 = ((s_or[:, None] << np.uint64(4)) | c16[None, :]) & mask
-    keys = np.unique(np.concatenate(
-        [S, canon(succ1.ravel()), canon(succ2.ravel())]
-    ))
-    del succ1, succ2
+
+    # closure keyset: canon(S ∪ succ1(S±) ∪ succ2(S±)); rc of each
+    # neighbour from rc_pm via shift identities (no further rcb calls)
+    succ1 = ((s_pm[:, None] << u2) | c4[None, :]) & mask
+    rc_s1 = ((u3 - c4)[None, :] << top) | (rc_pm[:, None] >> u2)
+    succ2 = ((s_pm[:, None] << u4) | c16[None, :]) & mask
+    rc_s2 = (_rc2(c16)[None, :] << (top - u2)) | (rc_pm[:, None] >> u4)
+    keys = np.unique(np.concatenate([
+        S,
+        np.minimum(succ1, rc_s1).ravel(),
+        np.minimum(succ2, rc_s2).ravel(),
+    ]))
+    del succ1, rc_s1, succ2, rc_s2
 
     nk = len(keys)
+    nb_proj = 1 << max(2, int(np.ceil(np.log2(nk))))
+    if nb_proj * 128 > PROBE_TABLE_MAX_BYTES:
+        _log.warning(
+            "probe table skipped: %d closure keys -> %d MB rows exceeds "
+            "PROBE_TABLE_MAX_BYTES=%d MB; anchor scan falls back to "
+            "per-position membership probes (~4x more scan gathers)",
+            nk, nb_proj * 128 >> 20, PROBE_TABLE_MAX_BYTES >> 20,
+        )
+        return None
+
     bits0 = np.zeros(nk, np.uint32)
     bits1 = np.zeros(nk, np.uint32)
 
-    def set_bit(idx: int, cond: np.ndarray):
-        if idx < 32:
-            bits0[cond] |= np.uint32(1 << idx)
-        else:
-            bits1[cond] |= np.uint32(1 << (idx - 32))
+    # self bit: keys that are junction keys (keys and S both canonical)
+    i = np.minimum(np.searchsorted(S, keys), n - 1)
+    bits0[S[i] == keys] |= np.uint32(1)
 
-    set_bit(0, in_s(keys))
-    top = np.uint64(2 * (k1 - 1))
-    for o in range(2):
-        z = keys if o == 0 else rcb(keys, k1)
-        for c in range(4):
-            v = ((z << np.uint64(2)) | np.uint64(c)) & mask
-            set_bit(1 + 4 * o + c, in_s(canon(v)))
-        for b in range(4):
-            v = (z >> np.uint64(2)) | (np.uint64(b) << top)
-            set_bit(9 + 4 * o + b, in_s(canon(v)))
-        for cc in range(16):
-            v = ((z << np.uint64(4)) | np.uint64(cc)) & mask
-            set_bit(17 + 16 * o + cc, in_s(canon(v)))
+    idx_parts: list[np.ndarray] = []
+    w0_parts: list[np.ndarray] = []
+    w1_parts: list[np.ndarray] = []
+
+    def emit(cand, rc_cand, bit_o0, bit_o1):
+        """Record bit_o0 where cand is canonical, bit_o1 where rc_cand
+        is (both for palindromes); bit indices are [|S±|] int arrays."""
+        kz = np.minimum(cand, rc_cand)
+        o0 = cand <= rc_cand
+        o1 = rc_cand <= cand
+        bsel = np.where(o0, bit_o0, bit_o1).astype(np.uint64)
+        both = o0 & o1
+        idx = np.searchsorted(keys, kz)
+        lo_m = np.where(bsel < 32,
+                        np.uint32(1) << bsel.astype(np.uint32),
+                        np.uint32(0))
+        hi_m = np.where(bsel >= 32,
+                        np.uint32(1) << (bsel - 32).astype(np.uint32),
+                        np.uint32(0))
+        if both.any():
+            b1u = bit_o1.astype(np.uint64)
+            lo_m = np.where(both & (b1u < 32),
+                            lo_m | (np.uint32(1) << b1u.astype(np.uint32)),
+                            lo_m)
+            hi_m = np.where(
+                both & (b1u >= 32),
+                hi_m | (np.uint32(1)
+                        << np.where(b1u >= 32, b1u - 32, 0).astype(
+                            np.uint32)),
+                hi_m)
+        idx_parts.append(idx)
+        w0_parts.append(lo_m)
+        w1_parts.append(hi_m)
+
+    c_last = (s_pm & u3).astype(np.int64)         # succ1 extension base
+    b_first = ((s_pm >> top) & u3).astype(np.int64)   # pred1 lost base
+    cc_last = (s_pm & np.uint64(15)).astype(np.int64)  # succ2 pair
+    for b0 in range(4):
+        # succ1(zo, c_last) == w: zo = (w>>2) | (b0<<top)
+        cand = (s_pm >> u2) | (np.uint64(b0) << top)
+        rc_c = ((rc_pm << u2) | (u3 - np.uint64(b0))) & mask
+        emit(cand, rc_c, 1 + c_last, 5 + c_last)
+    for c0 in range(4):
+        # pred1(zo, b_first) == w: zo = ((w<<2) | c0) & mask
+        cand = ((s_pm << u2) | np.uint64(c0)) & mask
+        rc_c = ((u3 - np.uint64(c0)) << top) | (rc_pm >> u2)
+        emit(cand, rc_c, 9 + b_first, 13 + b_first)
+    for bb in range(16):
+        # succ2(zo, cc_last) == w: zo = (w>>4) | (bb<<(top-2))
+        cand = (s_pm >> u4) | (np.uint64(bb) << (top - u2))
+        rc_c = ((rc_pm << u4) & mask) | _rc2(np.uint64(bb))
+        emit(cand, rc_c, 17 + cc_last, 33 + cc_last)
+
+    idx_all = np.concatenate(idx_parts)
+    w0_all = np.concatenate(w0_parts)
+    w1_all = np.concatenate(w1_parts)
+    order = np.argsort(idx_all, kind="stable")
+    si = idx_all[order]
+    starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
+    tgt = si[starts]
+    bits0[tgt] |= np.bitwise_or.reduceat(w0_all[order], starts)
+    bits1[tgt] |= np.bitwise_or.reduceat(w1_all[order], starts)
 
     hi, lo = split64(keys)
     nb = 1 << max(2, int(np.ceil(np.log2(nk))))
@@ -422,14 +513,18 @@ def build_device_index(
     from ..seq import rcb
 
     k1 = g.k - 1
-    all_keys = sorted(set(g.left) | set(g.right))
-    keys = np.array(all_keys, dtype=np.uint64)
-    vals = np.zeros((len(all_keys), 8), np.int32)
-    for i, key in enumerate(all_keys):
-        for j, uid in enumerate(g.left.get(key, [])[:4]):
-            vals[i, j] = uid
-        for j, uid in enumerate(g.right.get(key, [])[:4]):
-            vals[i, 4 + j] = uid
+    if g.jkeys is not None:
+        keys, vals = g.jkeys, g.jvals    # vectorized build.py slot table
+    else:
+        # graphs loaded from old persisted npz carry only the dicts
+        all_keys = sorted(set(g.left) | set(g.right))
+        keys = np.array(all_keys, dtype=np.uint64)
+        vals = np.zeros((len(all_keys), 8), np.int32)
+        for i, key in enumerate(all_keys):
+            for j, uid in enumerate(g.left.get(key, [])[:4]):
+                vals[i, j] = uid
+            for j, uid in enumerate(g.right.get(key, [])[:4]):
+                vals[i, 4 + j] = uid
     tbl = build_hash_table(keys, vals)
     scan_tbl = build_scan_table(keys, vals)
     probe_tbl = build_probe_table(keys, k1)
@@ -482,26 +577,41 @@ def build_device_index(
          rcbeg_hi, rcbeg_lo, rcend_hi, rcend_lo)
     ):
         umeta[:, c] = a.view(np.int32) if a.dtype == np.uint32 else a
+    rc_pool = build_rc_pool(g.pool, g.offsets, g.lengths)
     if embed:
-        rc_pool = build_rc_pool(g.pool, g.offsets, g.lengths)
-        base_idx = uoff.astype(np.int64)[:, None] + np.arange(16 * sw)
-        inb = np.arange(16 * sw)[None, :] < ulen[:, None]
-        base_idx = np.clip(base_idx, 0, max(len(g.pool) - 1, 0))
+        # chunked packing: temporaries are [CH, 16*sw] int32 (~40 MB at
+        # CH=64k, sw=160) instead of one [U1, 16*sw] int64 blow-up that
+        # can reach ~25-30x the final column size near the table cap
         shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
-        for col0, src in ((16, g.pool), (16 + sw, rc_pool)):
-            if len(src) == 0:
-                continue
-            b = np.where(inb, src[base_idx], 0).astype(np.uint32)
-            words = (b.reshape(U1, sw, 16) << shifts).sum(
-                axis=2, dtype=np.uint32
-            )
-            umeta[:, col0 : col0 + sw] = words.view(np.int32)
+        cols = np.arange(16 * sw, dtype=np.int32)[None, :]
+        CH = 1 << 16
+        for r0 in range(0, U1, CH):
+            r1 = min(r0 + CH, U1)
+            base_idx = uoff[r0:r1, None] + cols
+            inb = cols < ulen[r0:r1, None]
+            np.clip(base_idx, 0, max(len(g.pool) - 1, 0), out=base_idx)
+            for col0, src in ((16, g.pool), (16 + sw, rc_pool)):
+                if len(src) == 0:
+                    continue
+                b = np.where(inb, src[base_idx], 0).astype(np.uint32)
+                words = (b.reshape(r1 - r0, sw, 16) << shifts).sum(
+                    axis=2, dtype=np.uint32
+                )
+                umeta[r0:r1, col0 : col0 + sw] = words.view(np.int32)
 
     halo = max(256, ((max_read_len + 15) // 16) * 16)
     pool_words = pack_words(g.pool)
-    fwd_rows = build_pool_rows(pool_words, len(g.pool), halo)
-    rc_words = pack_words(build_rc_pool(g.pool, g.offsets, g.lengths))
-    rc_rows = build_pool_rows(rc_words, len(g.pool), halo)
+    if embed:
+        # the engine's candidate windows come entirely from the embedded
+        # umeta columns (core._window_miss SW > 0 branch is chosen at
+        # trace time), so chunk rows would be dead HBM weight: ship a
+        # 1-row placeholder to keep IndexArrays' shape contract
+        row_words = (CHUNK_BASES + halo) // 16 + 1
+        fwd_rows = np.zeros((1, row_words), np.uint32)
+        rc_rows = np.zeros((0, row_words), np.uint32)
+    else:
+        fwd_rows = build_pool_rows(pool_words, len(g.pool), halo)
+        rc_rows = build_pool_rows(pack_words(rc_pool), len(g.pool), halo)
 
     return DeviceIndex(
         k=g.k,

@@ -128,6 +128,19 @@ class ParsedReads:
         chars[nm] = ord("N")
         return chars.tobytes()
 
+    def slice_records(self, s: int, e: int) -> "ParsedReads":
+        """Records [s, e) as a new ParsedReads (rebased offsets); used
+        for per-process record-range input sharding (dist.multihost)."""
+        so, ho = self.seq_off, self.hdr_off
+        return ParsedReads(
+            e - s,
+            self.codes[so[s] : so[e]],
+            self.nmask[so[s] : so[e]],
+            (so[s : e + 1] - so[s]).copy(),
+            self.headers[ho[s] : ho[e]],
+            (ho[s : e + 1] - ho[s]).copy(),
+        )
+
 
 def _copy_arr(ptr, n, dtype):
     if n == 0:

@@ -97,14 +97,18 @@ def _format_paths_python(headers, hdr_off, status, path_off, flat):
 def _run_file_bulk(
     graph, rf, m, effort, fastq, correction, batch_size,
     stats, paths_out, na_out, mode="greedy", partial=False,
+    mesh=None, rec_range=None,
 ):
     from . import native
     from .engine.runner import align_bulk
 
     parsed = native.parse_reads(rf, graph.k, fastq)
+    if rec_range is not None:
+        s, e = rec_range(parsed.n)
+        parsed = parsed.slice_records(s, e)
     status, path_off, flat = align_bulk(
         graph, parsed, m, effort, batch_size=batch_size, mode=mode,
-        partial=partial,
+        partial=partial, mesh=mesh,
     )
     stats.read_number += parsed.n
     aligned = (status == STATUS_ALIGNED_FWD) | (status == STATUS_ALIGNED_RC)
@@ -195,8 +199,20 @@ def run_pipeline(
     mode: str = "greedy",
     partial: bool = False,
     save_index: str | None = None,
+    mesh_devices: int = 0,
+    process_id: int = 0,
+    num_processes: int = 1,
 ):
-    """Returns (paths_bytes, not_aligned_bytes, RunStats)."""
+    """Returns (paths_bytes, not_aligned_bytes, RunStats).
+
+    mesh_devices: shard device batches over the first N local devices
+    (-1 = all) via shard_map — the multi-chip path (jax impl only).
+    process_id/num_processes: multi-host input sharding; this process
+    maps a contiguous record range of every input file (hosts never
+    exchange read data, SURVEY.md §2.3); the caller merges per-process
+    outputs in process order (dist.multihost.merge_shards) for bytes
+    equal to a single-process run.
+    """
     stats = RunStats()
     t0 = time.monotonic()
     if graph is None:
@@ -215,12 +231,27 @@ def run_pipeline(
         # path modes run on the executable spec (reference-dead code)
         impl = "python"
 
+    rec_range = None
+    if num_processes > 1:
+        from .dist.multihost import shard_ranges
+
+        def rec_range(n, _p=process_id, _np=num_processes):
+            return shard_ranges(n, _np)[_p]
+
     if impl == "jax":
+        mesh = None
+        if mesh_devices:
+            from .dist.mesh import make_mesh
+
+            mesh = make_mesh(
+                None if mesh_devices < 0 else mesh_devices
+            )
         # bulk array path: native parse -> device batches -> native format
         for rf in reads_files:
             _run_file_bulk(
                 graph, rf, m, effort, fastq, correction, batch_size,
                 stats, paths_out, na_out, mode=mode, partial=partial,
+                mesh=mesh, rec_range=rec_range,
             )
         stats.map_seconds = time.monotonic() - t1
         return b"".join(paths_out), b"".join(na_out), stats
@@ -231,8 +262,16 @@ def run_pipeline(
     def stream(records):
         return align_stream_python(graph, records, m, effort, mode, partial)
 
+    def records_for(rf):
+        recs = iter_reads(rf, k, fastq)
+        if rec_range is None:
+            return recs
+        all_recs = list(recs)
+        s, e = rec_range(len(all_recs))
+        return all_recs[s:e]
+
     for rf in reads_files:
-        for header, seq, status, path in stream(iter_reads(rf, k, fastq)):
+        for header, seq, status, path in stream(records_for(rf)):
             stats.read_number += 1
             if status in (STATUS_ALIGNED_FWD, STATUS_ALIGNED_RC):
                 stats.aligned += 1

@@ -1,0 +1,111 @@
+"""End-to-end distributed tests (SURVEY.md §2.3, VERDICT item 4):
+
+  - CLI `--mesh 8` sharded run produces bytes identical to the
+    single-device run (shard_map path incl. on-device pack_paths),
+  - a REAL two-process run (separate interpreters, record-range input
+    sharding, per-process output shards) merged with merge_shards is
+    byte-identical to the single-process run.
+
+Replaces: the reference's thread pool (aligner.cpp:550-597), whose
+parity target is its deterministic -t 1 output.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from .synth import make_dataset
+
+_ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS=(
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip(),
+)
+
+
+def _write_dataset(tmp_path, **kw):
+    reads_fa, unitigs_fa = make_dataset(**kw)
+    rf = tmp_path / "reads.fa"
+    uf = tmp_path / "unitig.fa"
+    rf.write_bytes(reads_fa)
+    uf.write_bytes(unitigs_fa)
+    return str(rf), str(uf)
+
+
+def _cli(tmp_path, tag, rf, uf, *extra):
+    paths = str(tmp_path / f"paths.{tag}")
+    na = str(tmp_path / f"na.{tag}")
+    argv = [
+        sys.executable, "-m", "dbgtpu",
+        "-r", rf, "-k", "21", "-g", uf, "-m", "2",
+        "-f", paths, "-a", na, "--impl", "jax",
+        "--batch-size", "256", *extra,
+    ]
+    subprocess.run(
+        argv, check=True, env=_ENV,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+    )
+    return paths, na
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dist_e2e")
+    rf, uf = _write_dataset(
+        tmp, seed=411, genome_len=20000, k=21, n_reads=603,
+        err_frac=0.5, n_frac=0.02,
+    )
+    return tmp, rf, uf
+
+
+def test_cli_mesh_matches_single(dataset):
+    tmp, rf, uf = dataset
+    p1, n1 = _cli(tmp, "single", rf, uf)
+    p8, n8 = _cli(tmp, "mesh", rf, uf, "--mesh", "8")
+    assert open(p8, "rb").read() == open(p1, "rb").read()
+    assert open(n8, "rb").read() == open(n1, "rb").read()
+    assert os.path.getsize(p1) > 0
+
+
+def test_two_process_merge_matches_single(dataset, tmp_path):
+    from dbgtpu.dist.multihost import merge_shards, shard_path
+
+    tmp, rf, uf = dataset
+    p1, n1 = _cli(tmp, "ref", rf, uf)
+
+    paths = str(tmp_path / "paths")
+    na = str(tmp_path / "na")
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "dbgtpu",
+                "-r", rf, "-k", "21", "-g", uf, "-m", "2",
+                "-f", paths, "-a", na, "--impl", "jax",
+                "--batch-size", "256",
+                "--num-processes", "2", "--process-id", str(pid),
+            ],
+            env=_ENV,
+            cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))
+            ),
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()
+    for pid in range(2):
+        assert os.path.exists(shard_path(paths, pid))
+    merge_shards(paths, 2)
+    merge_shards(na, 2)
+    assert open(paths, "rb").read() == open(p1, "rb").read()
+    assert open(na, "rb").read() == open(n1, "rb").read()

@@ -111,3 +111,52 @@ def test_align_batch_identical_with_and_without_probe_table(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(a[key]), np.asarray(b[key]), err_msg=key
         )
+
+
+def test_probe_bits_match_direct_query_oracle():
+    """The scatter-inversion build (device.build_probe_table) must set
+    exactly the bits the ProbeTable definition states: for key z and
+    orientation o, bit 0 = z in S, 1+4o+c = canon(succ1) in S,
+    9+4o+b = canon(pred1) in S, 17+16o+cc = canon(succ2) in S —
+    computed here the slow direct way per stored key."""
+    from dbgtpu.index.device import _EMPTY_KEY
+
+    k1 = 14
+    rng = np.random.default_rng(99)
+    S = np.unique(rng.integers(0, 1 << (2 * k1), 3000, dtype=np.uint64))
+    S = np.unique(np.minimum(S, seq.rcb(S, k1)))
+    pt = build_probe_table(S, k1)
+    mask = np.uint64((1 << (2 * k1)) - 1)
+    top = np.uint64(2 * (k1 - 1))
+
+    def canon(v):
+        return np.minimum(v, seq.rcb(v, k1))
+
+    def in_s(v):
+        return np.isin(canon(v), S)
+
+    # pull (key, bits) pairs back out of the table rows
+    rows = pt.rows
+    used = rows[:, 0:8] != _EMPTY_KEY
+    keys = (rows[:, 0:8][used].astype(np.uint64) << np.uint64(32)) | rows[
+        :, 8:16
+    ][used].astype(np.uint64)
+    w0 = rows[:, 16:24][used].astype(np.uint64)
+    w1 = rows[:, 24:32][used].astype(np.uint64)
+    bits = w0 | (w1 << np.uint64(32))
+
+    want = np.where(np.isin(keys, S), np.uint64(1), np.uint64(0))
+    for o in range(2):
+        z = keys if o == 0 else seq.rcb(keys, k1)
+        for c in range(4):
+            v = ((z << np.uint64(2)) | np.uint64(c)) & mask
+            want |= in_s(v).astype(np.uint64) << np.uint64(1 + 4 * o + c)
+        for b in range(4):
+            v = (z >> np.uint64(2)) | (np.uint64(b) << top)
+            want |= in_s(v).astype(np.uint64) << np.uint64(9 + 4 * o + b)
+        for cc in range(16):
+            v = ((z << np.uint64(4)) | np.uint64(cc)) & mask
+            want |= in_s(v).astype(np.uint64) << np.uint64(
+                17 + 16 * o + cc
+            )
+    np.testing.assert_array_equal(bits, want)
