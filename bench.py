@@ -80,6 +80,15 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: first-ever run pays the full XLA
+    # (remote) compile; every later run on this machine reloads the
+    # executable from disk instead
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("DBGTPU_JAX_CACHE",
+                                     "/tmp/dbgtpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     t0 = time.monotonic()
     unitigs, codes_all = build_workload()
     n_reads = codes_all.shape[0]
@@ -148,12 +157,54 @@ def main() -> int:
     if frac < 0.5:
         log(f"WARNING: aligned fraction {frac:.2%} is suspicious")
 
-    print(json.dumps({
+    # ---- end-to-end: reads file on disk -> paths bytes (native parse,
+    # device pipeline incl. pack_paths D2H, native format), the honest
+    # comparison against the reference's 66k reads/s wall number ----
+    e2e_rps = None
+    try:
+        import tempfile
+
+        from dbgtpu.pipeline import run_pipeline
+
+        with tempfile.TemporaryDirectory() as td:
+            uf = os.path.join(td, "unitig.fa")
+            rf = os.path.join(td, "reads.fa")
+            with open(uf, "wb") as f:
+                for i, u in enumerate(unitigs):
+                    s = u if isinstance(u, bytes) else bytes(u)
+                    f.write(b">" + str(i).encode() + b"\n" + s + b"\n")
+            chars = np.frombuffer(b"ACGT", np.uint8)
+            with open(rf, "wb") as f:
+                hdrs = [f">r{i}\n".encode() for i in range(n_reads)]
+                rows = chars[codes_all]
+                f.write(b"".join(
+                    h + r.tobytes() + b"\n" for h, r in zip(hdrs, rows)
+                ))
+            t0 = time.monotonic()
+            paths, na, st = run_pipeline(
+                [rf], uf, k=K, m=M, effort=EFFORT, impl="jax",
+                batch_size=BATCH,
+            )
+            e2e_dt = time.monotonic() - t0
+            e2e_rps = n_reads / e2e_dt
+            log(f"end-to-end: {e2e_dt:.1f}s for {n_reads} reads "
+                f"-> {e2e_rps:,.0f} reads/s "
+                f"({len(paths)} path bytes, {st.aligned} aligned)")
+    except Exception as e:  # never lose the headline metric
+        log(f"end-to-end leg failed: {type(e).__name__}: {e}")
+
+    out = {
         "metric": "reads_mapped_per_sec_chip",
         "value": round(best, 1),
         "unit": "reads/s",
         "vs_baseline": round(best / BASELINE_READS_PER_S, 2),
-    }))
+    }
+    if e2e_rps is not None:
+        out["end_to_end_reads_per_sec"] = round(e2e_rps, 1)
+        out["end_to_end_vs_baseline"] = round(
+            e2e_rps / BASELINE_READS_PER_S, 2
+        )
+    print(json.dumps(out))
     return 0
 
 

@@ -85,10 +85,28 @@ def make_parser() -> argparse.ArgumentParser:
                    help="merge <paths>.shard0..N-1 and "
                         "<notAligned>.shard0..N-1 written by a "
                         "multi-host run, then exit")
+    p.add_argument("--index-layout", choices=["scan", "mphf"],
+                   default="scan",
+                   help="junction index layout: scan = one-gather "
+                        "fused table (fast, ~320 B/key); mphf = "
+                        "BBHash-style compact layout (~41 B/key) for "
+                        "graphs pressing HBM limits")
+    p.add_argument("--profile-dir", metavar="DIR",
+                   help="capture a jax.profiler trace of the mapping "
+                        "phase into DIR (view with TensorBoard/XProf)")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor the standard env var even where a site hook pre-forces
+        # a platform (e.g. the axon TPU plugin's sitecustomize): tests
+        # and CI drive the CLI on JAX_PLATFORMS=cpu subprocesses
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     args = make_parser().parse_args(argv)
     from .pipeline import run_pipeline
 
@@ -114,6 +132,12 @@ def main(argv: list[str] | None = None) -> int:
         args.k = graph.k
 
     reads_files = args.reads.split(",")
+    profiling = False
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
+        profiling = True
     t0 = time.monotonic()
     paths, na, stats = run_pipeline(
         reads_files,
@@ -138,7 +162,12 @@ def main(argv: list[str] | None = None) -> int:
         mesh_devices=args.mesh,
         process_id=args.process_id,
         num_processes=args.num_processes,
+        index_layout=args.index_layout,
     )
+    if profiling:
+        import jax
+
+        jax.profiler.stop_trace()
     paths_file, na_file = args.paths_file, args.not_aligned_file
     if args.num_processes > 1:
         from .dist.multihost import shard_path

@@ -120,6 +120,14 @@ class IndexArrays(NamedTuple):
     #                         vals (uid, upos, ucanon); (0, 40) when the
     #                         index was not built in dog mode
     at_seed: jax.Array      # uint32 [] anchor bucket-hash seed
+    # ---- compact MPHF junction layout (--index-layout mphf); empty
+    # placeholders under the default scan layout.  The static level
+    # structure travels separately as the hashable `jl_meta` arg.
+    mph_words: jax.Array    # uint32 [] level bitvectors, concatenated
+    mph_samples: jax.Array  # int32  [] 128-bit rank samples
+    mph_jrows: jax.Array    # uint32 [n, 10] (khi, klo, 8 ID slots)
+    mph_f: jax.Array        # uint32 [nbf, 12] final-level exact table
+    #                         (khi x4 | klo x4 | slot-val x4)
 
 
 # umeta column layout (index.device.build_device_index)
@@ -142,9 +150,35 @@ def index_to_device(di) -> IndexArrays:
     t = di.scan_tbl
     pt = getattr(di, "probe_tbl", None)
     at = getattr(di, "anchor_scan", None)
+    mj = getattr(di, "mphf_junction", None)
+    if mj is not None:
+        m = mj.mphf
+        ft = m.final_tbl
+        if ft is not None:
+            nbf = ft.n_buckets
+            mph_f = np.concatenate(
+                [ft.khi, ft.klo,
+                 ft.vals.reshape(nbf, 4).view(np.uint32)], axis=1,
+            )
+        else:
+            mph_f = np.zeros((0, 12), np.uint32)
+        mph = dict(
+            mph_words=jnp.asarray(m.words),
+            mph_samples=jnp.asarray(m.samples),
+            mph_jrows=jnp.asarray(mj.jrows),
+            mph_f=jnp.asarray(mph_f),
+        )
+    else:
+        mph = dict(
+            mph_words=jnp.zeros((0,), jnp.uint32),
+            mph_samples=jnp.zeros((0,), jnp.int32),
+            mph_jrows=jnp.zeros((0, 10), jnp.uint32),
+            mph_f=jnp.zeros((0, 12), jnp.uint32),
+        )
     return IndexArrays(
-        st_fused=jnp.asarray(_fuse_scan_table(t)),
-        st_seed=jnp.uint32(t.seed),
+        st_fused=(jnp.asarray(_fuse_scan_table(t)) if t is not None
+                  else jnp.zeros((0, 80), jnp.uint32)),
+        st_seed=jnp.uint32(t.seed if t is not None else 0),
         umeta=jnp.asarray(di.umeta),
         pool_rows=jnp.asarray(di.pool_rows),
         n_chunks=jnp.int32(di.n_chunks),
@@ -154,24 +188,122 @@ def index_to_device(di) -> IndexArrays:
         at_fused=(jnp.asarray(_fuse_scan_table(at)) if at is not None
                   else jnp.zeros((0, 40), jnp.uint32)),
         at_seed=jnp.uint32(at.seed if at is not None else 0),
+        **mph,
     )
 
 
-def _st_rows(ix: IndexArrays, qhi, qlo):
-    """Bucket key rows + slot matches for (qhi, qlo): ONE row gather
-    into the fused table (key columns 0:16).
-    Returns (ok [..., 8] slot match mask, bucket [...])."""
-    nb = ix.st_fused.shape[0]
-    mask = jnp.uint32(nb - 1)
-    b = (mix32(qhi ^ ix.st_seed, qlo) & mask).astype(jnp.int32)
-    row = ix.st_fused[b]                     # [..., 80]
-    ok = (row[..., 0:8] == qhi[..., None]) & (row[..., 8:16] == qlo[..., None])
-    return ok, b
+def jl_meta_of(di):
+    """Hashable static descriptor of the MPHF junction layout (None
+    under the default scan layout); pass as align_batch*'s jl_meta."""
+    mj = getattr(di, "mphf_junction", None)
+    if mj is None:
+        return None
+    m = mj.mphf
+    return (
+        m.n_levels,
+        tuple(int(x) for x in m.mask),
+        tuple(int(x) for x in m.word_off),
+        tuple(int(x) for x in m.sample_off),
+        tuple(int(x) for x in m.rank_base),
+        m.final_tbl is not None,
+        int(m.final_tbl.n_buckets) if m.final_tbl is not None else 0,
+    )
 
 
-def _st_member(ix: IndexArrays, qhi, qlo):
-    ok, _ = _st_rows(ix, qhi, qlo)
-    return jnp.any(ok, axis=-1)
+def _mphf_slot(ix: IndexArrays, jl_meta, qhi, qlo):
+    """Device MPHF lookup against IndexArrays fields (any query shape):
+    n_levels bit-test gathers + one sampled rank + the exact final
+    table.  Returns int32 slots, -1 = not found (semantics of
+    index.mphf.device_lookup; reimplemented here over the fused final
+    rows so the walk loop stays row-gather-only)."""
+    from ..index.mphf import _RANK_STRIDE, _level_hash
+    from .kmer32 import mix32b
+
+    (n_levels, masks, woffs, soffs, rbases, has_final, final_nb) = jl_meta
+    words, samples = ix.mph_words, ix.mph_samples
+    res = jnp.full(qhi.shape, -1, jnp.int32)
+    for lvl in range(n_levels):
+        pos = (_level_hash(qhi, qlo, lvl)
+               & jnp.uint32(masks[lvl])).astype(jnp.int32)
+        w = pos >> 5
+        word = words[woffs[lvl] + w]
+        bit = (word >> (pos & 31).astype(jnp.uint32)) & jnp.uint32(1)
+        rank = jnp.int32(rbases[lvl]) + samples[soffs[lvl] + (w >> 2)]
+        w0 = (w >> 2) << 2
+        below = (jnp.uint32(1)
+                 << (pos & 31).astype(jnp.uint32)) - jnp.uint32(1)
+        for j in range(_RANK_STRIDE):
+            wj = w0 + j
+            wordj = words[woffs[lvl] + jnp.minimum(wj, w)]
+            pc_full = jax.lax.population_count(wordj).astype(jnp.int32)
+            pc_part = jax.lax.population_count(
+                wordj & below
+            ).astype(jnp.int32)
+            rank = rank + jnp.where(
+                wj < w, pc_full, jnp.where(wj == w, pc_part, 0)
+            )
+        res = jnp.where(
+            (res < 0) & (bit == jnp.uint32(1)), rank, res
+        )
+    if has_final:
+        fm = jnp.uint32(final_nb - 1)
+        fval = jnp.full(qhi.shape, -1, jnp.int32)
+        for hfn in (mix32, mix32b):
+            frow = ix.mph_f[(hfn(qhi, qlo) & fm).astype(jnp.int32)]
+            ok = (frow[..., 0:4] == qhi[..., None]) & (
+                frow[..., 4:8] == qlo[..., None]
+            )
+            v = jnp.sum(
+                jnp.where(ok, frow[..., 8:12], jnp.uint32(0)),
+                axis=-1, dtype=jnp.uint32,
+            ).astype(jnp.int32)
+            fval = jnp.where(
+                (fval < 0) & jnp.any(ok, axis=-1), v, fval
+            )
+        res = jnp.where(res < 0, fval, res)
+    return res
+
+
+def _junction_vals(ix: IndexArrays, jl_meta, qhi, qlo):
+    """Junction lookup for canonical (k-1)-mers (any query shape):
+    (found mask, vals8 int32 [..., 8] = 4 left + 4 right ID slots).
+    Scan layout: ONE fused-row gather (key compare + masked row-sum
+    value select).  MPHF layout: _mphf_slot + one jrows gather with the
+    stored-key verify (aliasing defense, aligner.cpp:158-169)."""
+    if jl_meta is None:
+        nbm = jnp.uint32(ix.st_fused.shape[0] - 1)
+        frow = ix.st_fused[
+            (mix32(qhi ^ ix.st_seed, qlo) & nbm).astype(jnp.int32)
+        ]
+        ok = (frow[..., 0:8] == qhi[..., None]) & (
+            frow[..., 8:16] == qlo[..., None]
+        )
+        vals8 = jnp.sum(
+            jnp.where(ok[..., None],
+                      frow[..., 16:80].reshape(frow.shape[:-1] + (8, 8)),
+                      jnp.uint32(0)),
+            axis=-2, dtype=jnp.uint32,
+        ).astype(jnp.int32)
+        return jnp.any(ok, axis=-1), vals8
+    slot = _mphf_slot(ix, jl_meta, qhi, qlo)
+    row = ix.mph_jrows[jnp.maximum(slot, 0)]
+    found = (slot >= 0) & (row[..., 0] == qhi) & (row[..., 1] == qlo)
+    return found, row[..., 2:10].astype(jnp.int32)
+
+
+def _st_member(ix: IndexArrays, qhi, qlo, jl_meta=None):
+    """Junction keyset membership (scan or MPHF layout)."""
+    if jl_meta is None:
+        nb = ix.st_fused.shape[0]
+        mask = jnp.uint32(nb - 1)
+        b = (mix32(qhi ^ ix.st_seed, qlo) & mask).astype(jnp.int32)
+        row = ix.st_fused[b]                 # [..., 80]
+        ok = (row[..., 0:8] == qhi[..., None]) & (
+            row[..., 8:16] == qlo[..., None]
+        )
+        return jnp.any(ok, axis=-1)
+    found, _ = _junction_vals(ix, jl_meta, qhi, qlo)
+    return found
 
 
 def _closure_member(ix: IndexArrays, rep_hi, rep_lo, le, codes32, k1: int):
@@ -414,7 +546,7 @@ def _window_miss(
 
 def _junction_probe(
     ix: IndexArrays, mL, mRF, bhi, blo, pos, lens, rw_cur, nm_cur,
-    W2: int, Lw: int, k1: int,
+    W2: int, Lw: int, k1: int, jl_meta=None,
 ):
     """One junction evaluation: fused-row candidate lookup for the
     (k-1)-mer (bhi, blo) + windowed Hamming of all <=4 candidates
@@ -429,22 +561,9 @@ def _junction_probe(
     is_canon = pair_le(bhi, blo, rhi, rlo)
     chi = jnp.where(is_canon, bhi, rhi)
     clo = jnp.where(is_canon, blo, rlo)
-    # ONE fused-row gather: slot-key compare + value select (each ok
-    # mask has at most one True slot, so a masked row-sum replaces the
-    # second (st_vals) gather)
-    nbm = jnp.uint32(ix.st_fused.shape[0] - 1)
-    frow = ix.st_fused[
-        (mix32(chi ^ ix.st_seed, clo) & nbm).astype(jnp.int32)
-    ]                                                   # [B, 80]
-    okf = (frow[:, 0:8] == chi[:, None]) & (
-        frow[:, 8:16] == clo[:, None]
-    )
-    vals8 = jnp.sum(
-        jnp.where(okf[:, :, None],
-                  frow[:, 16:80].reshape(-1, 8, 8), jnp.uint32(0)),
-        axis=1, dtype=jnp.uint32,
-    ).astype(jnp.int32)                                 # [B, 8]
-    found = jnp.any(okf, axis=1)
+    # scan layout: ONE fused-row gather (slot-key compare + masked
+    # row-sum value select); mphf layout: level bit-tests + jrows row
+    found, vals8 = _junction_vals(ix, jl_meta, chi, clo)   # [B], [B, 8]
     use_right = jnp.where(mL, is_canon, ~is_canon)
     cands = jnp.where(use_right[:, None], vals8[:, 4:8], vals8[:, 0:4])
     cands = jnp.where(found[:, None], cands, 0)         # [B, 4]
@@ -535,7 +654,8 @@ def pack_paths(res: dict, pmax: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "m", "effort", "max_iters", "pmax", "stage1_iters", "ablate"
+        "k", "m", "effort", "max_iters", "pmax", "stage1_iters", "ablate",
+        "jl_meta",
     ),
 )
 def align_batch(
@@ -553,6 +673,7 @@ def align_batch(
     ablate: str = "all",  # profiling hook: "scan" stops after the
     #                       anchor scan (status := anchor counts);
     #                       capped loops are expressed via max_iters
+    jl_meta=None,         # static MPHF junction descriptor (jl_meta_of)
 ):
     """Align a batch.  Returns dict of per-read results."""
     B, L = codes.shape
@@ -601,11 +722,11 @@ def align_batch(
         (reference str2num vs nuc2int, see model.scan_kmers) where the
         scanned 'canonical' is not a true canonical and the closure
         probe's shift relation does not hold."""
-        m1 = _st_member(ix, rep1_hi, rep1_lo) & valid
+        m1 = _st_member(ix, rep1_hi, rep1_lo, jl_meta) & valid
         le2 = pair_le(std_hi, std_lo, rcs_hi, rcs_lo)
         r_hi = jnp.where(le2, std_hi, rcs_hi)
         r_lo = jnp.where(le2, std_lo, rcs_lo)
-        m2 = _st_member(ix, r_hi, r_lo) & valid
+        m2 = _st_member(ix, r_hi, r_lo, jl_meta) & valid
         return m1, m2
 
     if ix.pt_rows.shape[0] > 0:
@@ -618,13 +739,13 @@ def align_batch(
             has_n, _slow_members, _fast_members
         )
     else:
-        member1 = _st_member(ix, rep1_hi, rep1_lo) & valid
+        member1 = _st_member(ix, rep1_hi, rep1_lo, jl_meta) & valid
 
         def _member2():
             le2 = pair_le(std_hi, std_lo, rcs_hi, rcs_lo)
             r_hi = jnp.where(le2, std_hi, rcs_hi)
             r_lo = jnp.where(le2, std_lo, rcs_lo)
-            return _st_member(ix, r_hi, r_lo) & valid
+            return _st_member(ix, r_hi, r_lo, jl_meta) & valid
 
         member2 = jax.lax.cond(has_n, _member2, lambda: member1)
 
@@ -675,6 +796,7 @@ def align_batch(
     return _run_walks(
         ix, env, k=k, E=E, pmax=pmax,
         max_iters=max_iters, stage1_iters=stage1_iters, uncapped=uncapped,
+        jl_meta=jl_meta,
     )
 
 
@@ -688,6 +810,7 @@ def _run_walks(
     max_iters: int,
     stage1_iters: int,
     uncapped: bool,
+    jl_meta=None,
 ):
     """The batched walk state machine, generic over how walks start.
 
@@ -832,7 +955,7 @@ def _run_walks(
         nm_cur = jnp.where((orient == 0)[:, None], nmw, jnp.uint32(0))
         p = _junction_probe(
             ix, mL, mRF, bhi, blo, pos, lens, rw_cur, nm_cur,
-            W2, Lw, k1,
+            W2, Lw, k1, jl_meta,
         )
         miss = jnp.where(p["valid"], p["miss"], _BIG)
 

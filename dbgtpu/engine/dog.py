@@ -135,7 +135,7 @@ def _dog_inits(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "m", "effort", "max_iters", "pmax",
-                     "stage1_iters"),
+                     "stage1_iters", "jl_meta"),
 )
 def align_batch_anchors(
     ix: IndexArrays,
@@ -149,6 +149,7 @@ def align_batch_anchors(
     max_iters: int = 0,
     pmax: int = 0,
     stage1_iters: int = 6,
+    jl_meta=None,
 ):
     """Align a batch in dog/anchor mode.  Same result dict as
     align_batch."""
@@ -206,5 +207,5 @@ def align_batch_anchors(
     return _run_walks(
         ix, env, k=k, E=E, pmax=pmax,
         max_iters=max_iters, stage1_iters=stage1_iters,
-        uncapped=uncapped,
+        uncapped=uncapped, jl_meta=jl_meta,
     )

@@ -76,7 +76,7 @@ def _ta(arr, idx):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "m", "partial", "max_iters", "pmax"),
+    static_argnames=("k", "m", "partial", "max_iters", "pmax", "jl_meta"),
 )
 def align_batch_exhaustive(
     ix: IndexArrays,
@@ -89,6 +89,7 @@ def align_batch_exhaustive(
     partial: bool = False,
     max_iters: int = 0,
     pmax: int = 0,
+    jl_meta=None,
 ):
     """Align a batch exhaustively.  Same result dict as align_batch
     (orient is always 0: the mode has no RC retry)."""
@@ -126,7 +127,8 @@ def align_batch_exhaustive(
         rbh, rbl = rcb_pair(bug_hi, bug_lo, k1)
         le = pair_le(bug_hi, bug_lo, rbh, rbl)
         return _st_member(
-            ix, jnp.where(le, bug_hi, rbh), jnp.where(le, bug_lo, rbl)
+            ix, jnp.where(le, bug_hi, rbh), jnp.where(le, bug_lo, rbl),
+            jl_meta,
         )
 
     if ix.pt_rows.shape[0] > 0:
@@ -260,7 +262,7 @@ def align_batch_exhaustive(
         # ---- populate the top frame: ONE junction-probe bundle ----
         p = _junction_probe(
             ix, mL, mR, s["tk_hi"], s["tk_lo"], s["tpos"], lens,
-            rwf, nmw, W2, Lw, k1,
+            rwf, nmw, W2, Lw, k1, jl_meta,
         )
         pv = p["valid"]
         vidx = jnp.cumsum(pv.astype(jnp.int32), axis=1) - 1

@@ -16,16 +16,19 @@ from ..constants import STATUS_ALIGNED_FWD, STATUS_ALIGNED_RC
 from ..index.build import UnitigGraph
 from ..index.device import DeviceIndex, build_device_index
 from ..seq import encode, n_mask
-from .core import align_batch, index_to_device
+from .core import align_batch, index_to_device, jl_meta_of
 
 _ALIGNED = (STATUS_ALIGNED_FWD, STATUS_ALIGNED_RC)
 
 
-def get_device_index(graph: UnitigGraph) -> DeviceIndex:
-    di = getattr(graph, "_device_index", None)
+def get_device_index(
+    graph: UnitigGraph, layout: str = "scan"
+) -> DeviceIndex:
+    attr = "_device_index" if layout == "scan" else f"_device_index_{layout}"
+    di = getattr(graph, attr, None)
     if di is None:
-        di = build_device_index(graph)
-        graph._device_index = di
+        di = build_device_index(graph, layout=layout)
+        setattr(graph, attr, di)
     return di
 
 
@@ -83,6 +86,7 @@ def align_bulk(
     mode: str = "greedy",
     partial: bool = False,
     mesh=None,                   # jax.sharding.Mesh: shard batches over it
+    index_layout: str = "scan",  # "mphf" = compact junction layout
 ):
     """Bulk array alignment, input order preserved.
 
@@ -101,7 +105,7 @@ def align_bulk(
         def batch_fn(ix, codes, nmask, lens, *, k, m, pmax):
             return align_batch(
                 ix, codes, nmask, lens, k=k, m=m, effort=effort,
-                pmax=pmax,
+                pmax=pmax, jl_meta=jlm,
             )
 
         def spec_align(graph, codes, nm):
@@ -113,7 +117,7 @@ def align_bulk(
         def batch_fn(ix, codes, nmask, lens, *, k, m, pmax):
             return align_batch_anchors(
                 ix, codes, nmask, lens, k=k, m=m, effort=effort,
-                pmax=pmax,
+                pmax=pmax, jl_meta=jlm,
             )
 
         def spec_align(graph, codes, nm):
@@ -125,14 +129,15 @@ def align_bulk(
         def batch_fn(ix, codes, nmask, lens, *, k, m, pmax):
             return align_batch_exhaustive(
                 ix, codes, nmask, lens, k=k, m=m, partial=partial,
-                pmax=pmax,
+                pmax=pmax, jl_meta=jlm,
             )
 
         def spec_align(graph, codes, nm):
             return align_read_exhaustive(graph, codes, nm, m, partial)
     else:
         raise ValueError(f"no device engine for mode {mode!r}")
-    di = get_device_index(graph)
+    di = get_device_index(graph, index_layout)
+    jlm = jl_meta_of(di)
     ix = index_to_device(di)
     k = graph.k
     if mesh is not None:

@@ -505,13 +505,78 @@ class DeviceIndex:
     n_chunks: int = 0                   # fwd rows; rc rows follow
     halo_bases: int = 0                 # max window a chunk row covers
     probe_tbl: ProbeTable | None = None  # 4-position closure anchor scan
+    mphf_junction: MphfJunction | None = None  # compact layout (mphf)
+
+
+@dataclass
+class MphfJunction:
+    """Compact MPHF-backed junction index (--index-layout mphf).
+
+    The reference's index IS an MPHF (BooPHF, aligner.cpp:449-460);
+    dbgtpu's default ScanTable trades HBM (~320 B/key) for one-gather
+    lookups.  This layout is the >HBM-graph option (VERDICT r1 item 5):
+    ~3 bits/key of level bitvectors (index.mphf, BBHash algorithm)
+    plus a DENSE 40 B/key slot table `jrows` [n, 10] uint32 =
+    (key-hi, key-lo, 8 junction ID slots) at the MPHF slot of each key
+    — ~8x smaller than the ScanTable.  Lookups verify the stored key,
+    the reference's own aliasing defense (aligner.cpp:158-169); cost is
+    n_levels bit-test gathers + one row gather instead of one fused
+    gather, the documented speed/space tradeoff."""
+
+    mphf: "object"                # index.mphf.MPHF
+    jrows: np.ndarray             # uint32 [n_keys, 10]
+
+
+def build_mphf_junction(keys: np.ndarray, vals: np.ndarray) -> MphfJunction:
+    from .mphf import build_mphf
+
+    keys = np.asarray(keys, np.uint64)
+    vals = np.asarray(vals, np.int32)
+    m = build_mphf(keys, gamma=2.0)
+    slots = m.lookup(keys)
+    hi, lo = split64(keys)
+    jrows = np.zeros((len(keys), 10), np.uint32)
+    jrows[slots, 0] = hi
+    jrows[slots, 1] = lo
+    jrows[slots, 2:10] = vals.view(np.uint32)
+    return MphfJunction(m, jrows)
+
+
+def hbm_report(di: DeviceIndex) -> dict:
+    """Per-artifact device-resident bytes of the index (what
+    engine.core.index_to_device ships to HBM), for --json-summary
+    capacity planning (VERDICT r1 item 5)."""
+    if di.scan_tbl is not None:
+        jbytes = int(di.scan_tbl.keys.nbytes + di.scan_tbl.vals.nbytes)
+    elif di.mphf_junction is not None:
+        mj = di.mphf_junction
+        jbytes = int(
+            mj.jrows.nbytes + (mj.mphf.total_bits() + 7) // 8
+        )
+    else:
+        jbytes = 0
+    rep = {
+        "junction_table": jbytes,
+        "umeta": int(di.umeta.nbytes) if di.umeta is not None else 0,
+        "pool_rows": int(di.pool_rows.nbytes)
+        if di.pool_rows is not None else 0,
+        "probe_table": int(di.probe_tbl.rows.nbytes)
+        if di.probe_tbl is not None else 0,
+        "anchor_table": int(
+            di.anchor_scan.keys.nbytes + di.anchor_scan.vals.nbytes
+        ) if di.anchor_scan is not None else 0,
+    }
+    rep["total"] = sum(rep.values())
+    return rep
 
 
 def build_device_index(
-    g: UnitigGraph, max_read_len: int = 256
+    g: UnitigGraph, max_read_len: int = 256, layout: str = "scan"
 ) -> DeviceIndex:
     from ..seq import rcb
 
+    if layout not in ("scan", "mphf"):
+        raise ValueError(f"unknown index layout {layout!r}")
     k1 = g.k - 1
     if g.jkeys is not None:
         keys, vals = g.jkeys, g.jvals    # vectorized build.py slot table
@@ -526,7 +591,12 @@ def build_device_index(
             for j, uid in enumerate(g.right.get(key, [])[:4]):
                 vals[i, 4 + j] = uid
     tbl = build_hash_table(keys, vals)
-    scan_tbl = build_scan_table(keys, vals)
+    mphf_junction = None
+    if layout == "mphf":
+        scan_tbl = None
+        mphf_junction = build_mphf_junction(keys, vals)
+    else:
+        scan_tbl = build_scan_table(keys, vals)
     probe_tbl = build_probe_table(keys, k1)
 
     rcbeg = rcb(g.ubeg, k1)
@@ -632,4 +702,5 @@ def build_device_index(
         n_chunks=fwd_rows.shape[0],
         halo_bases=halo,
         probe_tbl=probe_tbl,
+        mphf_junction=mphf_junction,
     )

@@ -33,6 +33,7 @@ class RunStats:
     no_overlap: int = 0
     index_seconds: float = 0.0
     map_seconds: float = 0.0
+    index_hbm: dict | None = None     # per-artifact device-index bytes
 
     def summary(self) -> str:
         """Same shape as the reference's end-of-run block
@@ -68,6 +69,8 @@ class RunStats:
                 round(self.read_number / self.map_seconds, 1)
                 if self.map_seconds > 0 else None
             ),
+            **({"index_hbm_bytes": self.index_hbm}
+               if self.index_hbm else {}),
         }
 
 
@@ -97,10 +100,10 @@ def _format_paths_python(headers, hdr_off, status, path_off, flat):
 def _run_file_bulk(
     graph, rf, m, effort, fastq, correction, batch_size,
     stats, paths_out, na_out, mode="greedy", partial=False,
-    mesh=None, rec_range=None,
+    mesh=None, rec_range=None, index_layout="scan",
 ):
     from . import native
-    from .engine.runner import align_bulk
+    from .engine.runner import align_bulk, get_device_index
 
     parsed = native.parse_reads(rf, graph.k, fastq)
     if rec_range is not None:
@@ -108,8 +111,12 @@ def _run_file_bulk(
         parsed = parsed.slice_records(s, e)
     status, path_off, flat = align_bulk(
         graph, parsed, m, effort, batch_size=batch_size, mode=mode,
-        partial=partial, mesh=mesh,
+        partial=partial, mesh=mesh, index_layout=index_layout,
     )
+    if stats.index_hbm is None:
+        from .index.device import hbm_report
+
+        stats.index_hbm = hbm_report(get_device_index(graph, index_layout))
     stats.read_number += parsed.n
     aligned = (status == STATUS_ALIGNED_FWD) | (status == STATUS_ALIGNED_RC)
     stats.aligned += int(aligned.sum())
@@ -202,6 +209,7 @@ def run_pipeline(
     mesh_devices: int = 0,
     process_id: int = 0,
     num_processes: int = 1,
+    index_layout: str = "scan",
 ):
     """Returns (paths_bytes, not_aligned_bytes, RunStats).
 
@@ -251,7 +259,7 @@ def run_pipeline(
             _run_file_bulk(
                 graph, rf, m, effort, fastq, correction, batch_size,
                 stats, paths_out, na_out, mode=mode, partial=partial,
-                mesh=mesh, rec_range=rec_range,
+                mesh=mesh, rec_range=rec_range, index_layout=index_layout,
             )
         stats.map_seconds = time.monotonic() - t1
         return b"".join(paths_out), b"".join(na_out), stats

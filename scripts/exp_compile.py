@@ -29,7 +29,10 @@ def main():
     unitigs = synth.chop_unitigs(genome, K, rng, 40, 150)
     g = build_graph_from_seqs(unitigs, K)
     di = build_device_index(g)
+    print("index built", flush=True)
     ix = index_to_device(di)
+    import jax as _j; _j.block_until_ready(ix)
+    print("H2D done", flush=True)
 
     codes = np.zeros((B, L), np.uint8)
     nm = np.zeros((B, L), bool)
