@@ -108,11 +108,24 @@ def main() -> int:
     dev = jax.devices()[0]
     t0 = time.monotonic()
     ix = jax.device_put(index_to_device(di), dev)
-    L = codes_all.shape[1]
+    # pad reads to the SAME static shape the pipeline's runner buckets
+    # to (L=128, pmax from the index), so the e2e leg below reuses this
+    # exact compiled program — the axon remote compile is a per-process
+    # session cost worth paying only once
+    from dbgtpu.engine.runner import _bucket_len, _pmax_for
+
+    L = _bucket_len(READ_LEN, K)
+    PMAX = _pmax_for(di, L)
+    pad = np.zeros((BATCH, L - codes_all.shape[1]), np.uint8)
     nm = np.zeros((BATCH, L), bool)
     lens = np.full(BATCH, READ_LEN, np.int32)
     batches = [
-        jax.device_put(codes_all[i * BATCH : (i + 1) * BATCH], dev)
+        jax.device_put(
+            np.concatenate(
+                [codes_all[i * BATCH : (i + 1) * BATCH], pad], axis=1
+            ),
+            dev,
+        )
         for i in range(N_BATCHES)
     ]
     nm_d = jax.device_put(nm, dev)
@@ -123,11 +136,11 @@ def main() -> int:
     def step(codes):
         res = align_batch(
             ix, codes, nm_d, lens_d,
-            k=K, m=M, effort=EFFORT,
+            k=K, m=M, effort=EFFORT, pmax=PMAX,
         )
-        # summarize on device: count aligned, checksum offsets
+        # summarize on device: count aligned, checksum packed paths
         aligned = jnp.sum((res["status"] == 1) | (res["status"] == 2))
-        chk = jnp.sum(res["offset"]) + jnp.sum(res["llen"] + res["rlen"])
+        chk = jnp.sum(res["paths"]) + jnp.sum(res["plen"])
         return aligned.astype(jnp.int32), chk.astype(jnp.int32)
 
     # warmup / compile.  NOTE: on the axon platform block_until_ready

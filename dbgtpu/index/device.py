@@ -154,7 +154,7 @@ def build_scan_table(keys: np.ndarray, vals: np.ndarray) -> ScanTable:
     nb = 1 << max(2, int(np.ceil(np.log2(max(1, n)))))
     while True:
         for attempt in range(16):
-            seed = np.uint32(0x9E3779B1) * np.uint32(attempt + 1)
+            seed = np.uint32((0x9E3779B1 * (attempt + 1)) & 0xFFFFFFFF)
             if n == 0:
                 counts = np.zeros(nb, np.int64)
                 b = np.zeros(0, np.int64)
@@ -366,7 +366,7 @@ def build_probe_table(s_keys: np.ndarray, k1: int) -> ProbeTable | None:
     nb = 1 << max(2, int(np.ceil(np.log2(nk))))
     while True:
         for attempt in range(16):
-            seed = np.uint32(0x9E3779B1) * np.uint32(attempt + 1)
+            seed = np.uint32((0x9E3779B1 * (attempt + 1)) & 0xFFFFFFFF)
             b = (_scan_hash(hi, lo, seed) & np.uint32(nb - 1)).astype(
                 np.int64
             )
