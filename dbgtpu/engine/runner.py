@@ -33,14 +33,15 @@ def get_device_index(
 
 
 def _bucket_len(n: int, k: int) -> int:
-    """Round read length up to a bucket (powers of two up to 256, then
-    multiples of 256) to bound jit recompiles."""
+    """Round read length up to a bucket (multiples of 16 up to 256,
+    then multiples of 256) to bound jit recompiles.  16-granular
+    buckets keep scan/compare work proportional to the real read
+    length (a 100 bp read maps at L=112, not 128 — the pow-2 bucketing
+    wasted ~15% of the mapping step); reads within a batch share one
+    bucket, and datasets are near-uniform length in practice."""
     n = max(n, k + 1, 64)
     if n <= 256:
-        b = 64
-        while b < n:
-            b *= 2
-        return b
+        return ((n + 15) // 16) * 16
     return ((n + 255) // 256) * 256
 
 

@@ -102,17 +102,31 @@ def _run_file_bulk(
     stats, paths_out, na_out, mode="greedy", partial=False,
     mesh=None, rec_range=None, index_layout="scan",
 ):
+    import os
+    import sys
+
     from . import native
     from .engine.runner import align_bulk, get_device_index
 
+    timing = os.environ.get("DBGTPU_TIMING")
+
+    def tick(label, t0):
+        if timing:
+            print(f"[timing] {label}: {time.monotonic() - t0:.2f}s",
+                  file=sys.stderr, flush=True)
+        return time.monotonic()
+
+    t = time.monotonic()
     parsed = native.parse_reads(rf, graph.k, fastq)
     if rec_range is not None:
         s, e = rec_range(parsed.n)
         parsed = parsed.slice_records(s, e)
+    t = tick("parse", t)
     status, path_off, flat = align_bulk(
         graph, parsed, m, effort, batch_size=batch_size, mode=mode,
         partial=partial, mesh=mesh, index_layout=index_layout,
     )
+    t = tick("align", t)
     if stats.index_hbm is None:
         from .index.device import hbm_report
 
@@ -145,6 +159,7 @@ def _run_file_bulk(
             )
         )
 
+    t = tick("format", t)
     if not aligned.all():
         chars = _CHARS[parsed.codes].copy()
         chars[parsed.nmask] = ord("N")
@@ -153,6 +168,7 @@ def _run_file_bulk(
             h = parsed.headers[parsed.hdr_off[i] : parsed.hdr_off[i + 1]]
             s, e = int(parsed.seq_off[i]), int(parsed.seq_off[i + 1])
             na_out.append(h + b"\n" + cb[s:e] + b"\n")
+    tick("notaligned", t)
 
 
 def align_stream_python(
