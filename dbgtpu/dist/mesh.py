@@ -30,13 +30,21 @@ from ..constants import (
     STATUS_NO_OVERLAP_FWD,
     STATUS_RC_NO_OVERLAP,
 )
-from ..engine.core import IndexArrays, align_batch
+from ..engine.core import IndexArrays, align_batch, align_batch_packed
 
 READS_AXIS = "reads"
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
-    devices = jax.devices()
+    """Mesh over the first n LOCAL devices (all if None).
+
+    jax.local_devices(), not jax.devices(): under jax.distributed the
+    latter returns every process's devices and shard_map over the
+    runner's host-local numpy batches would address non-addressable
+    devices.  Cross-process scaling composes the per-process mesh with
+    record-range input sharding (dist.multihost), not a global mesh.
+    """
+    devices = jax.local_devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (READS_AXIS,))
@@ -84,14 +92,46 @@ def shard_batch_fn(mesh: Mesh, batch_fn):
     its static args already bound, returning a dict with at least
     status/paths/plen) so the batch axis is sharded over the mesh and
     only the compact results + a psum'd status histogram leave the
-    device.  This is the production sharded path used by the runner
-    (the reference's thread pool equivalent, aligner.cpp:550-597)."""
+    device.  (Legacy dict contract; the production runner uses
+    sharded_packed_fn.)"""
 
     def shard_fn(ix, codes, nmask, lens):
         res = batch_fn(ix, codes, nmask, lens)
         out = {kk: res[kk] for kk in ("status", "paths", "plen")}
         counts = jax.lax.psum(status_counts(res["status"]), READS_AXIS)
         return out, counts
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(READS_AXIS), P(READS_AXIS), P(READS_AXIS)),
+        out_specs=(P(READS_AXIS), P()),
+        check_vma=False,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def sharded_packed_fn(
+    mesh: Mesh, *, mode: str, k: int, m: int, effort: int, L: int,
+    pmax: int, jl_meta=None, partial: bool = False,
+):
+    """Sharded production batch call over the fused packed contract
+    (core.align_batch_packed): batch axis sharded, index replicated,
+    psum'd status histogram.  Memoized on (mesh, static args) so the
+    shard_map wrapper is built and traced once per shape combination
+    instead of per batch (the per-batch rebuild added measurable host
+    dispatch overhead across thousands of batches)."""
+
+    def shard_fn(ix, words, nmbits, lens):
+        fused = align_batch_packed(
+            ix, words, nmbits, lens, mode=mode, k=k, m=m,
+            effort=effort, L=L, pmax=pmax, jl_meta=jl_meta,
+            partial=partial,
+        )
+        counts = jax.lax.psum(
+            status_counts(fused[:, 0].astype(jnp.int32)), READS_AXIS
+        )
+        return fused, counts
 
     return jax.shard_map(
         shard_fn,

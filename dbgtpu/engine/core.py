@@ -112,8 +112,10 @@ class IndexArrays(NamedTuple):
     umeta: jax.Array        # int32  [U+1, 16] per-unitig metadata row
     pool_rows: jax.Array    # uint32 [2*nc, RW] fwd then rc chunk rows
     n_chunks: jax.Array     # int32  [] fwd row count (rc rows follow)
-    pt_rows: jax.Array      # uint32 [nbp, 32] closure probe rows ((0,32)
-    #                         when absent -> per-position scan fallback)
+    pt_rows: jax.Array      # uint32 [nbp, 32|24] closure probe rows
+    #                         (width 32 = window 4, 24 = window 3;
+    #                         (0, 32) when absent -> per-position scan
+    #                         fallback)
     pt_seed: jax.Array      # uint32 [] probe bucket-hash seed
     at_fused: jax.Array     # uint32 [nba, 40] dog-mode anchor rows: 8
     #                         slot keys (hi x8 | lo x8) ++ 8 slots x 3
@@ -146,7 +148,16 @@ def _fuse_scan_table(t) -> np.ndarray:
 
 
 def index_to_device(di) -> IndexArrays:
-    """DeviceIndex (numpy) -> IndexArrays (jnp)."""
+    """DeviceIndex (numpy) -> IndexArrays (jnp), memoized on `di`.
+
+    The memo matters: the index H2D is the single largest transfer of a
+    run (the probe table alone can be hundreds of MB, ~10 s on the
+    measured ~30 MB/s tunnel), and the runner calls this per file/batch
+    group — without the cache every pipeline invocation re-uploaded the
+    whole index."""
+    cached = getattr(di, "_ix_arrays", None)
+    if cached is not None:
+        return cached
     t = di.scan_tbl
     pt = getattr(di, "probe_tbl", None)
     at = getattr(di, "anchor_scan", None)
@@ -175,7 +186,7 @@ def index_to_device(di) -> IndexArrays:
             mph_jrows=jnp.zeros((0, 10), jnp.uint32),
             mph_f=jnp.zeros((0, 12), jnp.uint32),
         )
-    return IndexArrays(
+    ix = IndexArrays(
         st_fused=(jnp.asarray(_fuse_scan_table(t)) if t is not None
                   else jnp.zeros((0, 80), jnp.uint32)),
         st_seed=jnp.uint32(t.seed if t is not None else 0),
@@ -190,6 +201,11 @@ def index_to_device(di) -> IndexArrays:
         at_seed=jnp.uint32(at.seed if at is not None else 0),
         **mph,
     )
+    try:
+        di._ix_arrays = ix
+    except AttributeError:
+        pass
+    return ix
 
 
 def jl_meta_of(di):
@@ -307,10 +323,12 @@ def _st_member(ix: IndexArrays, qhi, qlo, jl_meta=None):
 
 
 def _closure_member(ix: IndexArrays, rep_hi, rep_lo, le, codes32, k1: int):
-    """Anchor-scan membership for every position via 4-position closure
-    probes (index.device.ProbeTable): ONE row gather per FOUR read
+    """Anchor-scan membership for every position via W-position closure
+    probes (index.device.ProbeTable): ONE row gather per W read
     positions instead of one per position — gathers are the serial
-    currency on TPU (~60-80M rows/s regardless of row width).
+    currency on TPU (~60-80M rows/s regardless of row width).  W is
+    static, derived from the row width (32 cols = window 4 with succ2
+    bits; 24 cols = window 3, bits all in word0).
 
     rep_hi/lo: canonical (k-1)-mer per position [B, Lk]; le: query
     orientation (True = forward kmer IS the canonical); codes32: the
@@ -321,8 +339,9 @@ def _closure_member(ix: IndexArrays, rep_hi, rep_lo, le, codes32, k1: int):
     B, Lk = rep_hi.shape
     L = codes32.shape[1]
     nbp = ix.pt_rows.shape[0]
-    J = (Lk + 3) // 4
-    pcols = [min(4 * j + 1, Lk - 1) for j in range(J)]
+    W = 4 if ix.pt_rows.shape[1] == 32 else 3
+    J = (Lk + W - 1) // W
+    pcols = [min(W * j + 1, Lk - 1) for j in range(J)]
 
     def at(arr, cols):
         return jnp.stack([arr[:, c] for c in cols], axis=1)
@@ -332,39 +351,43 @@ def _closure_member(ix: IndexArrays, rep_hi, rep_lo, le, codes32, k1: int):
     b = (mix32(qhi ^ ix.pt_seed, qlo) & jnp.uint32(nbp - 1)).astype(
         jnp.int32
     )
-    row = ix.pt_rows[b]                                  # [B, J, 32]
-    ok = (row[..., 0:8] == qhi[..., None]) & (
+    row = ix.pt_rows[b]                                  # [B, J, 32|24]
+    # rows store ~key-hi so empty slots are natural zeros (device.py)
+    ok = (row[..., 0:8] == (qhi ^ _FULL32)[..., None]) & (
         row[..., 8:16] == qlo[..., None]
     )
     w0 = jnp.sum(jnp.where(ok, row[..., 16:24], jnp.uint32(0)),
                  axis=-1, dtype=jnp.uint32)              # [B, J]
-    w1 = jnp.sum(jnp.where(ok, row[..., 24:32], jnp.uint32(0)),
-                 axis=-1, dtype=jnp.uint32)
+    if W == 4:
+        w1 = jnp.sum(jnp.where(ok, row[..., 24:32], jnp.uint32(0)),
+                     axis=-1, dtype=jnp.uint32)
 
     onum = jnp.where(at(le, pcols), jnp.uint32(0), jnp.uint32(1))
     fb = at(codes32, [max(p - 1, 0) for p in pcols])     # pred base
     c1 = at(codes32, [min(p + k1, L - 1) for p in pcols])
-    c2 = at(codes32, [min(p + k1 + 1, L - 1) for p in pcols])
-    cc = (c1 << 2) | c2
 
     def bit(idx):
         idx = idx.astype(jnp.uint32)
-        lo_ = (w0 >> idx) & jnp.uint32(1)
-        hi_ = (w1 >> jnp.where(idx >= 32, idx - 32, jnp.uint32(0))
-               ) & jnp.uint32(1)
-        return jnp.where(idx < 32, lo_, hi_) != 0
+        return ((w0 >> idx) & jnp.uint32(1)) != 0
 
     m_by_d = {
         -1: bit(jnp.uint32(9) + 4 * onum + fb),
         0: bit(jnp.broadcast_to(jnp.uint32(0), onum.shape)),
         1: bit(jnp.uint32(1) + 4 * onum + c1),
-        2: bit(jnp.uint32(17) + 16 * onum + cc),
     }
-    # position i is answered by probe j = i//4 at offset d = i - p_j;
+    if W == 4:
+        c2 = at(codes32, [min(p + k1 + 1, L - 1) for p in pcols])
+        cc = (c1 << 2) | c2
+        idx2 = (jnp.uint32(17) + 16 * onum + cc).astype(jnp.uint32)
+        lo_ = (w0 >> idx2) & jnp.uint32(1)
+        hi_ = (w1 >> jnp.where(idx2 >= 32, idx2 - 32, jnp.uint32(0))
+               ) & jnp.uint32(1)
+        m_by_d[2] = jnp.where(idx2 < 32, lo_, hi_) != 0
+    # position i is answered by probe j = i//W at offset d = i - p_j;
     # the end-clamped last probe only ever serves d <= 0 positions
     cols = []
     for i in range(Lk):
-        j = i // 4
+        j = i // W
         cols.append(m_by_d[i - pcols[j]][:, j])
     return jnp.stack(cols, axis=1)
 
@@ -1114,3 +1137,89 @@ def _run_walks(
     if pmax:
         res["paths"], res["plen"] = pack_paths(res, pmax)
     return res
+
+
+def _unpack_words(words, nmbits, L: int):
+    """Inverse of the host-side 2-bit/1-bit packing (runner.pack_words
+    batch variants): words uint32 [B, ceil(L/16)] -> codes uint8 [B, L];
+    nmbits uint32 [B, ceil(L/32)] -> bool [B, L].  Pure VPU reshapes and
+    shifts — the H2D payload stays 2.25 bits/base instead of 16."""
+    B, Lw = words.shape
+    sh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    codes = ((words[:, :, None] >> sh) & jnp.uint32(3)).reshape(
+        B, Lw * 16
+    )[:, :L].astype(jnp.uint8)
+    shb = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    nm = (((nmbits[:, :, None] >> shb) & jnp.uint32(1)) != 0).reshape(
+        B, -1
+    )[:, :L]
+    return codes, nm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mode", "k", "m", "effort", "L", "pmax", "stage1_iters",
+        "jl_meta", "partial",
+    ),
+)
+def align_batch_packed(
+    ix: IndexArrays,
+    words,      # uint32 [B, ceil(L/16)] 2-bit packed read codes
+    nmbits,     # uint32 [B, ceil(L/32)] packed N-mask bits
+    lens,       # int32  [B]
+    *,
+    mode: str = "greedy",
+    k: int,
+    m: int,
+    effort: int = 2,
+    L: int,
+    pmax: int,
+    stage1_iters: int = 6,
+    jl_meta=None,
+    partial: bool = False,
+):
+    """Transfer-minimal production entry (all device modes).
+
+    The measured axon tunnel costs ~100 ms latency per transfer at
+    18-40 MB/s, and the padded per-field result dict made the old
+    runner loop ~50x slower than the device compute it wrapped.  This
+    wrapper (a) takes bit-packed reads (2 b/base + 1 N-bit vs 16 b),
+    (b) returns ONE fused [B, 2 + pmax] array — col 0 status, col 1
+    TRUE path length (rows with plen > pmax are recomputed on host —
+    rare when pmax is the runner's capped bound), cols 2: the packed
+    path — as int16 when every value provably fits (unitig count and
+    path bound are static), halving D2H again.
+    """
+    codes, nm = _unpack_words(words, nmbits, L)
+    if mode == "greedy":
+        res = align_batch.__wrapped__(
+            ix, codes, nm, lens, k=k, m=m, effort=effort, pmax=pmax,
+            stage1_iters=stage1_iters, jl_meta=jl_meta,
+        )
+    elif mode == "anchors":
+        from .dog import align_batch_anchors
+
+        res = align_batch_anchors.__wrapped__(
+            ix, codes, nm, lens, k=k, m=m, effort=effort, pmax=pmax,
+            stage1_iters=stage1_iters, jl_meta=jl_meta,
+        )
+    elif mode == "exhaustive":
+        from .exhaustive import align_batch_exhaustive
+
+        res = align_batch_exhaustive.__wrapped__(
+            ix, codes, nm, lens, k=k, m=m, partial=partial, pmax=pmax,
+            jl_meta=jl_meta,
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    out = jnp.concatenate(
+        [res["status"][:, None], res["plen"][:, None], res["paths"]],
+        axis=1,
+    )
+    U = ix.umeta.shape[0]
+    # int16 iff signed ids (|id| < U), offsets (< L) and true plens
+    # (<= 2L+1) all fit
+    if U <= 32767 and 2 * L + 1 <= 32767:
+        out = out.astype(jnp.int16)
+    return out

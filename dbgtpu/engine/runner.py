@@ -1,14 +1,23 @@
 """Host-side batching around the device engine.
 
 Collects parsed reads into fixed-shape batches (static B, length-
-bucketed L so jit compiles once per bucket), ships them through
-align_batch, and unpacks per-read paths in input order.
+bucketed L so jit compiles once per bucket), ships them through the
+transfer-minimal packed engine entry (core.align_batch_packed), and
+unpacks per-read paths in input order.
+
+Transfer discipline (the axon tunnel measures ~100 ms latency per
+transfer at 18-40 MB/s, so e2e throughput is transfer-bound, not
+compute-bound): reads go up as 2-bit words + packed N-bits (2.25
+bits/base), results come back as ONE fused [B, 2+pmax] int16 array per
+batch with a capped pmax (true path lengths reported; the rare
+overflow rows are recomputed on host via the spec), and result D2H is
+started asynchronously at dispatch time so it overlaps later batches'
+host work and device compute.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Iterator, Tuple
+import os
 
 import numpy as np
 
@@ -16,9 +25,16 @@ from ..constants import STATUS_ALIGNED_FWD, STATUS_ALIGNED_RC
 from ..index.build import UnitigGraph
 from ..index.device import DeviceIndex, build_device_index
 from ..seq import encode, n_mask
-from .core import align_batch, index_to_device, jl_meta_of
+from .core import align_batch_packed, index_to_device, jl_meta_of
 
 _ALIGNED = (STATUS_ALIGNED_FWD, STATUS_ALIGNED_RC)
+
+# capped device-side path-slot bound (offset + signed ids).  The
+# worst-case bound (_pmax_for) can reach ~2*L when the graph holds one
+# very short unitig, which made the padded result D2H 30 MB/batch; real
+# paths are ~2-10 slots.  Rows whose true plen exceeds the cap are
+# recomputed on host (exact, rare).
+PMAX_CAP = int(os.environ.get("DBGTPU_PMAX_CAP", 30))
 
 
 def get_device_index(
@@ -56,19 +72,6 @@ def pack_batch(seqs: list[bytes], B: int, L: int):
     return codes, nm, lens
 
 
-def unpack_result(res: dict, i: int):
-    """(status, path or None) for batch row i."""
-    status = int(res["status"][i])
-    if status not in _ALIGNED:
-        return status, None
-    llen = int(res["llen"][i])
-    rlen = int(res["rlen"][i])
-    path = [int(res["offset"][i])]
-    path.extend(int(v) for v in res["lbuf"][i, :llen][::-1])
-    path.extend(int(v) for v in res["rbuf"][i, :rlen])
-    return status, path
-
-
 def _pmax_for(di: DeviceIndex, L: int) -> int:
     """Static packed-path bound: offset + per-direction walk count.
     Each junction consumes at least (min unitig len - (k-1)) read bases;
@@ -76,6 +79,28 @@ def _pmax_for(di: DeviceIndex, L: int) -> int:
     ul = di.ulen[1:]
     stride = max(1, int(ul.min(initial=1)) - (di.k - 1))
     return int(1 + 2 * ((L + stride - 1) // stride) + 4)
+
+
+def pack_words_batch(codes: np.ndarray, nmask: np.ndarray):
+    """[B, L] uint8 codes + bool N-mask -> (words uint32 [B, ceil(L/16)],
+    nmbits uint32 [B, ceil(L/32)]): the H2D payload of
+    core.align_batch_packed (2 bits/base + 1 N-bit)."""
+    B, L = codes.shape
+    Lw = (L + 15) // 16
+    pad = Lw * 16 - L
+    c = np.pad(codes, ((0, 0), (0, pad))) if pad else codes
+    words = (
+        c.reshape(B, Lw, 16).astype(np.uint32)
+        << (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+    ).sum(axis=2, dtype=np.uint32)
+    Lb = (L + 31) // 32
+    padb = Lb * 32 - L
+    nmp = np.pad(nmask, ((0, 0), (0, padb))) if padb else nmask
+    nmbits = (
+        nmp.reshape(B, Lb, 32).astype(np.uint32)
+        << np.arange(32, dtype=np.uint32)[None, None, :]
+    ).sum(axis=2, dtype=np.uint32)
+    return words, nmbits
 
 
 def align_bulk(
@@ -103,35 +128,15 @@ def align_bulk(
     if mode == "greedy":
         from ..model import align_read_greedy
 
-        def batch_fn(ix, codes, nmask, lens, *, k, m, pmax):
-            return align_batch(
-                ix, codes, nmask, lens, k=k, m=m, effort=effort,
-                pmax=pmax, jl_meta=jlm,
-            )
-
         def spec_align(graph, codes, nm):
             return align_read_greedy(graph, codes, nm, m, effort)
     elif mode == "anchors":
         from ..anchors import align_read_greedy_anchors
-        from .dog import align_batch_anchors
-
-        def batch_fn(ix, codes, nmask, lens, *, k, m, pmax):
-            return align_batch_anchors(
-                ix, codes, nmask, lens, k=k, m=m, effort=effort,
-                pmax=pmax, jl_meta=jlm,
-            )
 
         def spec_align(graph, codes, nm):
             return align_read_greedy_anchors(graph, codes, nm, m, effort)
     elif mode == "exhaustive":
         from ..exhaustive import align_read_exhaustive
-        from .exhaustive import align_batch_exhaustive
-
-        def batch_fn(ix, codes, nmask, lens, *, k, m, pmax):
-            return align_batch_exhaustive(
-                ix, codes, nmask, lens, k=k, m=m, partial=partial,
-                pmax=pmax, jl_meta=jlm,
-            )
 
         def spec_align(graph, codes, nm):
             return align_read_exhaustive(graph, codes, nm, m, partial)
@@ -141,63 +146,75 @@ def align_bulk(
     jlm = jl_meta_of(di)
     ix = index_to_device(di)
     k = graph.k
+
+    def batch_fn(ix, words, nmbits, blens, *, L, pmax):
+        return align_batch_packed(
+            ix, words, nmbits, blens, mode=mode, k=k, m=m,
+            effort=effort, L=L, pmax=pmax, jl_meta=jlm, partial=partial,
+        )
+
     if mesh is not None:
-        from ..dist.mesh import shard_batch_fn
+        from ..dist.mesh import sharded_packed_fn
 
         nmesh = mesh.devices.size
         if batch_size % nmesh:
             batch_size = ((batch_size + nmesh - 1) // nmesh) * nmesh
-        inner = batch_fn
 
-        def batch_fn(ix, codes, nmask, lens, *, k, m, pmax):
-            bound = functools.partial(inner, k=k, m=m, pmax=pmax)
-            res, _counts = shard_batch_fn(mesh, bound)(
-                ix, codes, nmask, lens
+        def batch_fn(ix, words, nmbits, blens, *, L, pmax):
+            fn = sharded_packed_fn(
+                mesh, mode=mode, k=k, m=m, effort=effort, L=L,
+                pmax=pmax, jl_meta=jlm, partial=partial,
             )
-            return res
+            fused, _counts = fn(ix, words, nmbits, blens)
+            return fused
+
     N = parsed.n
     lens_all = np.diff(parsed.seq_off).astype(np.int32)
     status_all = np.zeros(N, np.int32)
     counts_all = np.zeros(N, np.int64)
     flat_parts: list[np.ndarray] = []
 
-    pending: list[tuple[int, dict, int, int]] = []  # (s0, res, nb, pmax)
+    pending: list[tuple[int, object, int, int]] = []  # (s0, fused, nb, pmax)
 
-    def drain():
-        for s0, res, nb, pmax in pending:
-            status = np.asarray(res["status"])[:nb]
-            paths = np.asarray(res["paths"])[:nb]
-            plen = np.asarray(res["plen"])[:nb]
+    def drain_one():
+        s0, fused, nb, pmax = pending.pop(0)
+        out = np.asarray(fused)
+        status = out[:nb, 0].astype(np.int32)
+        plen = out[:nb, 1].astype(np.int32)
+        paths = out[:nb, 2:].astype(np.int32)
+        aligned = (status == 1) | (status == 2)
+        over = aligned & (plen > pmax)
+        counts = np.where(aligned, np.minimum(plen, pmax), 0)
+        if over.any():
+            # exact fallback: the capped device buffer truncated these
+            # paths; recompute them on host via the executable spec
+            full = {}
+            for i in np.nonzero(over)[0]:
+                gi = s0 + int(i)
+                _, codes, nm = parsed.record(gi)
+                st, path = spec_align(graph, codes, nm)
+                status[i] = st
+                full[int(i)] = path or []
             aligned = (status == 1) | (status == 2)
-            over = aligned & (plen > pmax)
-            if over.any():
-                # rare fallback: recompute overflow rows on host
-                for i in np.nonzero(over)[0]:
-                    gi = s0 + int(i)
-                    _, codes, nm = parsed.record(gi)
-                    st, path = spec_align(graph, codes, nm)
-                    status[i] = st
-                    row = np.zeros(pmax, np.int32)
-                    pl = 0
-                    if path is not None:
-                        pl = min(len(path), pmax)
-                        row[:pl] = path[:pl]
-                    paths[i] = row
-                    plen[i] = pl
-                aligned = (status == 1) | (status == 2)
-            status_all[s0 : s0 + nb] = status
-            counts = np.where(aligned, np.minimum(plen, pmax), 0)
-            counts_all[s0 : s0 + nb] = counts
-            cols = np.arange(paths.shape[1])[None, :]
-            mask = aligned[:, None] & (cols < counts[:, None])
-            flat_parts.append(paths[mask])
-        pending.clear()
+            wide = max([pmax] + [len(p) for p in full.values()])
+            if wide > paths.shape[1]:
+                paths = np.pad(paths, ((0, 0), (0, wide - paths.shape[1])))
+            for i, path in full.items():
+                paths[i, : len(path)] = path
+                paths[i, len(path):] = 0
+                counts[i] = len(path) if aligned[i] else 0
+            counts = np.where(aligned, counts, 0)
+        status_all[s0 : s0 + nb] = status
+        counts_all[s0 : s0 + nb] = counts
+        cols = np.arange(paths.shape[1])[None, :]
+        mask = aligned[:, None] & (cols < counts[:, None])
+        flat_parts.append(paths[mask])
 
     for s0 in range(0, N, batch_size):
         nb = min(batch_size, N - s0)
         lens = lens_all[s0 : s0 + nb]
         L = _bucket_len(int(lens.max(initial=k + 1)), k)
-        pmax = _pmax_for(di, L)
+        pmax = min(_pmax_for(di, L), PMAX_CAP)
         starts = parsed.seq_off[s0 : s0 + nb]
         col = np.arange(L, dtype=np.int64)[None, :]
         gidx = starts[:, None] + np.minimum(col, (lens - 1)[:, None])
@@ -208,14 +225,17 @@ def align_bulk(
         nmask[:nb] = parsed.nmask[gidx] & valid
         blens = np.zeros(batch_size, np.int32)
         blens[:nb] = lens
-        res = batch_fn(
-            ix, codes, nmask, blens,
-            k=k, m=m, pmax=pmax,
-        )
-        pending.append((s0, res, nb, pmax))
-        if len(pending) >= 4:  # keep a short device pipeline
-            drain()
-    drain()
+        words, nmbits = pack_words_batch(codes, nmask)
+        fused = batch_fn(ix, words, nmbits, blens, L=L, pmax=pmax)
+        try:
+            fused.copy_to_host_async()   # start D2H behind later work
+        except AttributeError:
+            pass
+        pending.append((s0, fused, nb, pmax))
+        if len(pending) >= 3:  # rolling drain keeps a short pipeline
+            drain_one()
+    while pending:
+        drain_one()
 
     path_off = np.zeros(N + 1, np.int64)
     np.cumsum(counts_all, out=path_off[1:])
@@ -225,37 +245,3 @@ def align_bulk(
     return status_all, path_off, paths_flat
 
 
-def align_stream_jax(
-    graph: UnitigGraph,
-    records: Iterator[Tuple[bytes, bytes]],
-    m: int,
-    effort: int,
-    batch_size: int = 8192,
-):
-    """Yield (header, seq, status, path) in input order."""
-    di = get_device_index(graph)
-    ix = index_to_device(di)
-    k = graph.k
-    pending: list[Tuple[bytes, bytes]] = []
-
-    def flush():
-        if not pending:
-            return
-        B = batch_size
-        L = _bucket_len(max(len(s) for _, s in pending), k)
-        codes, nm, lens = pack_batch([s for _, s in pending], B, L)
-        res = align_batch(
-            ix, codes, nm, lens,
-            k=k, m=m, effort=effort,
-        )
-        res = {kk: np.asarray(v) for kk, v in res.items()}
-        for i, (header, seq) in enumerate(pending):
-            status, path = unpack_result(res, i)
-            yield header, seq, status, path
-        pending.clear()
-
-    for rec in records:
-        pending.append(rec)
-        if len(pending) == batch_size:
-            yield from flush()
-    yield from flush()

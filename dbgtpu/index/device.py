@@ -151,18 +151,17 @@ def build_scan_table(keys: np.ndarray, vals: np.ndarray) -> ScanTable:
         vals = vals[:, None]
     n, V = len(keys), vals.shape[1]
     hi, lo = split64(keys)
-    nb = 1 << max(2, int(np.ceil(np.log2(max(1, n)))))
-    while True:
-        for attempt in range(16):
-            seed = np.uint32((0x9E3779B1 * (attempt + 1)) & 0xFFFFFFFF)
-            if n == 0:
-                counts = np.zeros(nb, np.int64)
-                b = np.zeros(0, np.int64)
-            else:
-                b = (_scan_hash(hi, lo, seed) & np.uint32(nb - 1)).astype(
-                    np.int64
-                )
-                counts = np.bincount(b, minlength=nb)
+    nb0 = 1 << max(2, int(np.ceil(np.log2(max(1, n)))))
+    # seed/size search: hash once per seed, re-mask while growing nb
+    # (bucket overflow is a load property, not a seed property); the
+    # second seed guards against full-32-bit-hash collisions
+    for attempt in range(2):
+        seed = np.uint32((0x9E3779B1 * (attempt + 1)) & 0xFFFFFFFF)
+        h = _scan_hash(hi, lo, seed) if n else np.zeros(0, np.uint32)
+        nb = nb0
+        for _growth in range(8):
+            b = (h & np.uint32(nb - 1)).astype(np.int64)
+            counts = np.bincount(b, minlength=nb)
             if counts.max(initial=0) <= 8:
                 tkeys = np.full((nb, 16), _EMPTY_KEY, np.uint32)
                 tvals = np.zeros((nb * 8, V), np.int32)
@@ -176,7 +175,8 @@ def build_scan_table(keys: np.ndarray, vals: np.ndarray) -> ScanTable:
                     tkeys[bs, 8 + slot] = lo[order]
                     tvals[bs * 8 + slot] = vals[order]
                 return ScanTable(tkeys, tvals, nb, int(seed))
-        nb <<= 1
+            nb <<= 1
+    raise RuntimeError("scan table build failed: unresolvable bucket overflow")
 
 
 @dataclass
@@ -188,37 +188,48 @@ class ProbeTable:
     aligner.cpp:345-378); on TPU each test is a serial row gather and
     gathers are rate-bound (~60-80M rows/s regardless of width), so a
     per-position probe dominates the whole mapping runtime.  This table
-    answers membership for FOUR consecutive positions per gather:
+    answers membership for `window` consecutive positions per gather:
 
       probe the canonical kmer x_p at position p; its bucket slot
       stores precomputed bits for the whole 1-step neighbourhood:
         self:        x_p ∈ S
         pred1[o][b]: canonical(b-extended predecessor) ∈ S   (pos p-1)
         succ1[o][c]: canonical(c-extended successor)  ∈ S   (pos p+1)
-        succ2[o][cc]: two-step successor              ∈ S   (pos p+2)
+        succ2[o][cc]: two-step successor   (window 4)        (pos p+2)
       (o = whether the read's forward kmer equals the stored canonical
       key or its reverse complement; consecutive read kmers are shift-
       related, so b/c/cc are read directly from the read's base codes.)
 
-    Keyset = canon(S ∪ pred(S±) ∪ succ(S±) ∪ succ²(S±)) ≤ 41·|S|: a
-    probe that misses proves all four positions are non-members.  This
-    trades one-time host build + HBM for a 4x cut in serial gathers —
-    the TPU-first inversion of the reference's per-position MPHF loop.
+    window 4: keyset = canon(S ∪ succ(S±) ∪ succ²(S±)) ≈ 21·|S±|,
+    row [nb, 32] uint32 — cols 0:8 ~key-hi x8 slots (INVERTED so empty
+    slots are natural zeros: key-hi < 2^30 for k <= 32, hence a stored
+    ~hi is never 0 and a query's ~hi never matches an untouched slot —
+    rows come from a lazily-zeroed allocation, no full-table fill
+    pass), 8:16 key-lo, 16:24 bits word0, 24:32 bits word1.  Bit
+    layout (49 bits): 0 self; 1+4o+c succ1; 9+4o+b pred1; 17+16o+cc
+    succ2.
 
-    Row layout [nb, 32] uint32: cols 0:8 key-hi x8 slots, 8:16 key-lo,
-    16:24 bits word0, 24:32 bits word1.  Bit layout (49 bits):
-      0: self; 1+4o+c: succ1; 9+4o+b: pred1; 17+16o+cc: succ2.
+    window 3 (auto-selected when the window-4 rows would exceed
+    PROBE_TABLE_MAX_BYTES — the large-graph mid-tier): keyset drops
+    succ², ≈ 5·|S±| keys, and the 17 remaining bits fit word0, so rows
+    are [nb, 24].  The engine derives the window from the row width.
+
+    A probe that misses proves all `window` positions are non-members;
+    this trades one-time host build + HBM for a `window`-fold cut in
+    serial scan gathers — the TPU-first inversion of the reference's
+    per-position MPHF loop.
     """
 
-    rows: np.ndarray      # uint32 [nb, 32]
+    rows: np.ndarray      # uint32 [nb, 32] (window 4) / [nb, 24] (3)
     n_buckets: int
     seed: int
     window: int = 4
 
 
 # skip the probe table when its device rows would exceed this budget
-# (the 41x closure keyset makes the table the largest index artifact;
-# the engine then falls back to exact per-position membership probes —
+# (the closure keyset makes the table the largest index artifact; the
+# build first downgrades window 4 -> 3 (~4x fewer keys), then gives up
+# and the engine falls back to exact per-position membership probes —
 # correct, ~4x more scan gathers).  Overridable for experiments.
 PROBE_TABLE_MAX_BYTES = int(os.environ.get(
     "DBGTPU_PROBE_TABLE_MAX_BYTES", 2 << 30
@@ -235,7 +246,9 @@ def _rc2(cc: np.ndarray) -> np.ndarray:
             | (three - (cc >> np.uint64(2))))
 
 
-def build_probe_table(s_keys: np.ndarray, k1: int) -> ProbeTable | None:
+def build_probe_table(
+    s_keys: np.ndarray, k1: int, window: int | None = None
+) -> ProbeTable | None:
     """s_keys: uint64 canonical junction keys (the ScanTable keyset).
 
     Scatter-inversion build: rather than querying, for every closure
@@ -252,7 +265,14 @@ def build_probe_table(s_keys: np.ndarray, k1: int) -> ProbeTable | None:
     searchsorted operations.  Closure closedness (canon(pred(x)) =
     canon(succ1(rcb(x))) ∈ keys since S± is rc-closed) guarantees every
     emission lands on an existing key; tests/test_probe.py checks the
-    result against a direct per-key query oracle."""
+    result against a direct per-key query oracle.
+
+    `window` is normally auto-selected: 4 when the projected rows fit
+    PROBE_TABLE_MAX_BYTES, else 3 (the succ²-free keyset is ~4x
+    smaller), else None.  The projection happens BEFORE the expansion
+    arrays are materialized, so the byte cap also bounds host peak
+    memory (closure dedupe is ~0-3% on real graphs, so the estimate
+    nk ≈ |S| + {20,4}·|S±| is tight)."""
     S = np.sort(np.asarray(s_keys, np.uint64))
     n = len(S)
     if n == 0 or k1 < 3:
@@ -265,35 +285,46 @@ def build_probe_table(s_keys: np.ndarray, k1: int) -> ProbeTable | None:
 
     s_pm = np.unique(np.concatenate([S, rcb(S, k1)]))   # S±, rc-closed
     rc_pm = rcb(s_pm, k1)
-    c4 = np.arange(4, dtype=np.uint64)
-    c16 = np.arange(16, dtype=np.uint64)
+    p = len(s_pm)
 
-    # closure keyset: canon(S ∪ succ1(S±) ∪ succ2(S±)); rc of each
-    # neighbour from rc_pm via shift identities (no further rcb calls)
+    def proj_bytes(nk_est: int, width: int) -> int:
+        return (1 << max(2, int(np.ceil(np.log2(nk_est))))) * width * 4
+
+    if window is None:
+        if proj_bytes(n + 20 * p, 32) <= PROBE_TABLE_MAX_BYTES:
+            window = 4
+        elif proj_bytes(n + 4 * p, 24) <= PROBE_TABLE_MAX_BYTES:
+            window = 3
+        else:
+            _log.warning(
+                "probe table skipped: ~%d closure keys (window 3) "
+                "exceed PROBE_TABLE_MAX_BYTES=%d MB; anchor scan falls "
+                "back to per-position membership probes (~4x more scan "
+                "gathers)", n + 4 * p, PROBE_TABLE_MAX_BYTES >> 20,
+            )
+            return None
+    width = 32 if window == 4 else 24
+    c4 = np.arange(4, dtype=np.uint64)
+
+    # closure keyset: canon(S ∪ succ1(S±) [∪ succ2(S±) for window 4]);
+    # rc of each neighbour from rc_pm via shift identities (no further
+    # rcb calls)
     succ1 = ((s_pm[:, None] << u2) | c4[None, :]) & mask
     rc_s1 = ((u3 - c4)[None, :] << top) | (rc_pm[:, None] >> u2)
-    succ2 = ((s_pm[:, None] << u4) | c16[None, :]) & mask
-    rc_s2 = (_rc2(c16)[None, :] << (top - u2)) | (rc_pm[:, None] >> u4)
-    keys = np.unique(np.concatenate([
-        S,
-        np.minimum(succ1, rc_s1).ravel(),
-        np.minimum(succ2, rc_s2).ravel(),
-    ]))
-    del succ1, rc_s1, succ2, rc_s2
+    parts = [S, np.minimum(succ1, rc_s1).ravel()]
+    del succ1, rc_s1
+    if window == 4:
+        c16 = np.arange(16, dtype=np.uint64)
+        succ2 = ((s_pm[:, None] << u4) | c16[None, :]) & mask
+        rc_s2 = (_rc2(c16)[None, :] << (top - u2)) | (rc_pm[:, None] >> u4)
+        parts.append(np.minimum(succ2, rc_s2).ravel())
+        del succ2, rc_s2
+    keys = np.unique(np.concatenate(parts))
+    del parts
 
     nk = len(keys)
-    nb_proj = 1 << max(2, int(np.ceil(np.log2(nk))))
-    if nb_proj * 128 > PROBE_TABLE_MAX_BYTES:
-        _log.warning(
-            "probe table skipped: %d closure keys -> %d MB rows exceeds "
-            "PROBE_TABLE_MAX_BYTES=%d MB; anchor scan falls back to "
-            "per-position membership probes (~4x more scan gathers)",
-            nk, nb_proj * 128 >> 20, PROBE_TABLE_MAX_BYTES >> 20,
-        )
-        return None
-
     bits0 = np.zeros(nk, np.uint32)
-    bits1 = np.zeros(nk, np.uint32)
+    bits1 = np.zeros(nk, np.uint32) if window == 4 else None
 
     # self bit: keys that are junction keys (keys and S both canonical)
     i = np.minimum(np.searchsorted(S, keys), n - 1)
@@ -335,7 +366,6 @@ def build_probe_table(s_keys: np.ndarray, k1: int) -> ProbeTable | None:
 
     c_last = (s_pm & u3).astype(np.int64)         # succ1 extension base
     b_first = ((s_pm >> top) & u3).astype(np.int64)   # pred1 lost base
-    cc_last = (s_pm & np.uint64(15)).astype(np.int64)  # succ2 pair
     for b0 in range(4):
         # succ1(zo, c_last) == w: zo = (w>>2) | (b0<<top)
         cand = (s_pm >> u2) | (np.uint64(b0) << top)
@@ -346,11 +376,13 @@ def build_probe_table(s_keys: np.ndarray, k1: int) -> ProbeTable | None:
         cand = ((s_pm << u2) | np.uint64(c0)) & mask
         rc_c = ((u3 - np.uint64(c0)) << top) | (rc_pm >> u2)
         emit(cand, rc_c, 9 + b_first, 13 + b_first)
-    for bb in range(16):
-        # succ2(zo, cc_last) == w: zo = (w>>4) | (bb<<(top-2))
-        cand = (s_pm >> u4) | (np.uint64(bb) << (top - u2))
-        rc_c = ((rc_pm << u4) & mask) | _rc2(np.uint64(bb))
-        emit(cand, rc_c, 17 + cc_last, 33 + cc_last)
+    if window == 4:
+        cc_last = (s_pm & np.uint64(15)).astype(np.int64)  # succ2 pair
+        for bb in range(16):
+            # succ2(zo, cc_last) == w: zo = (w>>4) | (bb<<(top-2))
+            cand = (s_pm >> u4) | (np.uint64(bb) << (top - u2))
+            rc_c = ((rc_pm << u4) & mask) | _rc2(np.uint64(bb))
+            emit(cand, rc_c, 17 + cc_last, 33 + cc_last)
 
     idx_all = np.concatenate(idx_parts)
     w0_all = np.concatenate(w0_parts)
@@ -360,31 +392,51 @@ def build_probe_table(s_keys: np.ndarray, k1: int) -> ProbeTable | None:
     starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
     tgt = si[starts]
     bits0[tgt] |= np.bitwise_or.reduceat(w0_all[order], starts)
-    bits1[tgt] |= np.bitwise_or.reduceat(w1_all[order], starts)
+    if window == 4:
+        bits1[tgt] |= np.bitwise_or.reduceat(w1_all[order], starts)
 
     hi, lo = split64(keys)
-    nb = 1 << max(2, int(np.ceil(np.log2(nk))))
-    while True:
-        for attempt in range(16):
-            seed = np.uint32((0x9E3779B1 * (attempt + 1)) & 0xFFFFFFFF)
-            b = (_scan_hash(hi, lo, seed) & np.uint32(nb - 1)).astype(
-                np.int64
-            )
+    # seed/size search: ONE 32-bit hash per seed; growing nb only
+    # re-masks it (a former version rehashed all keys for 16 seeds per
+    # size — pure waste, since overflow is a load property, not a seed
+    # property).  A second seed guards against full-32-bit-hash
+    # collisions; growth stops at the byte cap and downgrades.
+    nb0 = 1 << max(2, int(np.ceil(np.log2(nk))))
+    for attempt in range(2):
+        seed = np.uint32((0x9E3779B1 * (attempt + 1)) & 0xFFFFFFFF)
+        h = _scan_hash(hi, lo, seed)
+        nb = nb0
+        while nb * width * 4 <= max(PROBE_TABLE_MAX_BYTES, nb0 * width * 4):
+            b = (h & np.uint32(nb - 1)).astype(np.int64)
             counts = np.bincount(b, minlength=nb)
             if counts.max(initial=0) <= 8:
-                rows = np.full((nb, 32), 0, np.uint32)
-                rows[:, 0:16] = _EMPTY_KEY
+                # lazily-zeroed rows; empty slots are all-zero (the
+                # stored ~key-hi of a real key is never 0, see class doc)
+                rows = np.zeros((nb, width), np.uint32)
                 order = np.argsort(b, kind="stable")
                 bs = b[order]
                 start = np.zeros(nb + 1, np.int64)
                 np.cumsum(counts, out=start[1:])
                 slot = np.arange(nk) - start[bs]
-                rows[bs, slot] = hi[order]
+                rows[bs, slot] = ~hi[order]
                 rows[bs, 8 + slot] = lo[order]
                 rows[bs, 16 + slot] = bits0[order]
-                rows[bs, 24 + slot] = bits1[order]
-                return ProbeTable(rows, nb, int(seed))
-        nb <<= 1
+                if window == 4:
+                    rows[bs, 24 + slot] = bits1[order]
+                return ProbeTable(rows, nb, int(seed), window)
+            nb <<= 1
+    if window == 4:
+        _log.warning(
+            "window-4 probe table exceeded PROBE_TABLE_MAX_BYTES while "
+            "resolving bucket overflow; downgrading to window 3"
+        )
+        return build_probe_table(s_keys, k1, window=3)
+    _log.warning(
+        "probe table skipped: bucket overflow unresolvable within "
+        "PROBE_TABLE_MAX_BYTES; anchor scan falls back to per-position "
+        "membership probes"
+    )
+    return None
 
 
 def pt_member_host(pt: ProbeTable, hi, lo) -> np.ndarray:
@@ -394,7 +446,7 @@ def pt_member_host(pt: ProbeTable, hi, lo) -> np.ndarray:
     b = (_scan_hash(hi, lo, np.uint32(pt.seed))
          & np.uint32(pt.n_buckets - 1)).astype(np.int64)
     row = pt.rows[b]
-    ok = (row[..., 0:8] == hi[..., None]) & (row[..., 8:16] == lo[..., None])
+    ok = (row[..., 0:8] == ~hi[..., None]) & (row[..., 8:16] == lo[..., None])
     w0 = np.where(ok, row[..., 16:24], 0).sum(axis=-1).astype(np.uint32)
     return (w0 & 1).astype(bool)
 
@@ -475,8 +527,6 @@ class DeviceIndex:
     runner ships them to device once and reuses)."""
 
     k: int
-    # junction table: vals[:, 0:4] = left slots, vals[:, 4:8] = right
-    tbl: HashTable
     # unitig pool
     pool: np.ndarray          # uint8 [P]
     pool_words: np.ndarray    # uint32 [ceil(P/16)+2]; base i at bits 2*(i%16)
@@ -504,7 +554,7 @@ class DeviceIndex:
     pool_rows: np.ndarray | None = None  # uint32 [2*n_chunks, row_words]
     n_chunks: int = 0                   # fwd rows; rc rows follow
     halo_bases: int = 0                 # max window a chunk row covers
-    probe_tbl: ProbeTable | None = None  # 4-position closure anchor scan
+    probe_tbl: ProbeTable | None = None  # W-position closure anchor scan
     mphf_junction: MphfJunction | None = None  # compact layout (mphf)
 
 
@@ -590,7 +640,6 @@ def build_device_index(
                 vals[i, j] = uid
             for j, uid in enumerate(g.right.get(key, [])[:4]):
                 vals[i, 4 + j] = uid
-    tbl = build_hash_table(keys, vals)
     mphf_junction = None
     if layout == "mphf":
         scan_tbl = None
@@ -685,7 +734,6 @@ def build_device_index(
 
     return DeviceIndex(
         k=g.k,
-        tbl=tbl,
         pool=g.pool,
         pool_words=pool_words,
         uoff=uoff,

@@ -77,6 +77,22 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.dbg_format_notaligned.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.dbg_format_notaligned.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.dbg_format_corrected.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.dbg_format_corrected.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.dbg_free_buf.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
     return lib
 
@@ -233,6 +249,100 @@ def format_paths_native(
         status.ctypes.data_as(i32p),
         path_off.ctypes.data_as(i64p),
         paths_flat.ctypes.data_as(i32p),
+        n,
+        ctypes.byref(out_len),
+    )
+    try:
+        return bytes(
+            np.ctypeslib.as_array(buf, shape=(out_len.value,))
+        ) if out_len.value else b""
+    finally:
+        lib.dbg_free_buf(buf)
+
+
+def format_corrected_native(
+    headers: bytes,
+    hdr_off: np.ndarray,
+    status: np.ndarray,
+    path_off: np.ndarray,
+    paths_flat: np.ndarray,
+    seq_off: np.ndarray,
+    pool: np.ndarray,
+    uoff: np.ndarray,
+    ulen: np.ndarray,
+    k: int,
+) -> bytes:
+    """Correction-mode output bytes (reference recoverPath,
+    aligner.cpp:270-290 + RC-back, alignerGreedy.cpp:394-399) for
+    aligned reads; replaces the former per-read host python loop."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native io unavailable")
+    n = len(status)
+    hdr_arr = np.frombuffer(headers, np.uint8)
+    hdr_off = np.ascontiguousarray(hdr_off, np.int64)
+    status = np.ascontiguousarray(status, np.int32)
+    path_off = np.ascontiguousarray(path_off, np.int64)
+    paths_flat = np.ascontiguousarray(paths_flat, np.int32)
+    seq_off = np.ascontiguousarray(seq_off, np.int64)
+    pool = np.ascontiguousarray(pool, np.uint8)
+    uoff = np.ascontiguousarray(uoff, np.int32)
+    ulen = np.ascontiguousarray(ulen, np.int32)
+    out_len = ctypes.c_int64(0)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    buf = lib.dbg_format_corrected(
+        hdr_arr.ctypes.data_as(u8p),
+        hdr_off.ctypes.data_as(i64p),
+        status.ctypes.data_as(i32p),
+        path_off.ctypes.data_as(i64p),
+        paths_flat.ctypes.data_as(i32p),
+        seq_off.ctypes.data_as(i64p),
+        pool.ctypes.data_as(u8p),
+        uoff.ctypes.data_as(i32p),
+        ulen.ctypes.data_as(i32p),
+        k,
+        n,
+        ctypes.byref(out_len),
+    )
+    try:
+        return bytes(
+            np.ctypeslib.as_array(buf, shape=(out_len.value,))
+        ) if out_len.value else b""
+    finally:
+        lib.dbg_free_buf(buf)
+
+
+def format_notaligned_native(
+    headers: bytes,
+    hdr_off: np.ndarray,
+    status: np.ndarray,
+    chars: np.ndarray,
+    seq_off: np.ndarray,
+) -> bytes:
+    """notAligned.fa bytes for non-aligned reads (header + sequence;
+    reference alignerGreedy.cpp:400-427).  `chars` is the whole file's
+    ASCII base stream with Ns restored."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native io unavailable")
+    n = len(status)
+    hdr_arr = np.frombuffer(headers, np.uint8)
+    hdr_off = np.ascontiguousarray(hdr_off, np.int64)
+    status = np.ascontiguousarray(status, np.int32)
+    chars = np.ascontiguousarray(chars, np.uint8)
+    seq_off = np.ascontiguousarray(seq_off, np.int64)
+    out_len = ctypes.c_int64(0)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    buf = lib.dbg_format_notaligned(
+        hdr_arr.ctypes.data_as(u8p),
+        hdr_off.ctypes.data_as(i64p),
+        status.ctypes.data_as(i32p),
+        chars.ctypes.data_as(u8p),
+        seq_off.ctypes.data_as(i64p),
         n,
         ctypes.byref(out_len),
     )

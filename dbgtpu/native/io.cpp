@@ -219,6 +219,84 @@ uint8_t* dbg_format_paths(
     return res;
 }
 
+// Format the notAligned file: per NON-aligned read (status not 1/2),
+// header line + newline + original sequence chars + newline (reference
+// notAligned.fa writes, alignerGreedy.cpp:400-427; receives both
+// no-overlap and overlap-but-unaligned reads, SURVEY.md §4.1 item 3).
+// `chars` is the whole file's ASCII base stream (N restored).
+uint8_t* dbg_format_notaligned(
+    const uint8_t* headers, const int64_t* hdr_off,
+    const int32_t* status, const uint8_t* chars,
+    const int64_t* seq_off, int64_t n, int64_t* out_len) {
+    std::vector<uint8_t> out;
+    out.reserve((size_t)n * 16);
+    for (int64_t i = 0; i < n; ++i) {
+        if (status[i] == 1 || status[i] == 2) continue;
+        out.insert(out.end(), headers + hdr_off[i], headers + hdr_off[i + 1]);
+        out.push_back('\n');
+        out.insert(out.end(), chars + seq_off[i], chars + seq_off[i + 1]);
+        out.push_back('\n');
+    }
+    uint8_t* res = (uint8_t*)malloc(out.size() ? out.size() : 1);
+    memcpy(res, out.data(), out.size());
+    *out_len = (int64_t)out.size();
+    return res;
+}
+
+// Correction mode (-c): per aligned read, header + the genomic
+// sequence recovered along its path + newline (reference recoverPath,
+// aligner.cpp:270-290: splice unitigs with k-1 overlaps, slice
+// [offset, offset+readLen), RC back when the read aligned as RC —
+// alignerGreedy.cpp:394-399).  `pool` holds 2-bit codes of all unitigs
+// back to back (uoff/ulen index it, ids 1-based, negative = RC).
+uint8_t* dbg_format_corrected(
+    const uint8_t* headers, const int64_t* hdr_off,
+    const int32_t* status, const int64_t* path_off, const int32_t* flat,
+    const int64_t* seq_off,
+    const uint8_t* pool, const int32_t* uoff, const int32_t* ulen,
+    int32_t k, int64_t n, int64_t* out_len) {
+    static const char ACGT[] = "ACGT";
+    std::vector<uint8_t> out;
+    out.reserve((size_t)n * 64);
+    std::vector<uint8_t> tmp;
+    for (int64_t i = 0; i < n; ++i) {
+        if (status[i] != 1 && status[i] != 2) continue;
+        int64_t rlen = seq_off[i + 1] - seq_off[i];
+        const int32_t* p = flat + path_off[i];
+        int64_t m = path_off[i + 1] - path_off[i];
+        if (m < 2) continue;
+        int64_t offset = p[0];
+        tmp.clear();
+        for (int64_t j = 1; j < m; ++j) {
+            int32_t sid = p[j];
+            int32_t id = sid < 0 ? -sid : sid;
+            int32_t len = ulen[id];
+            const uint8_t* base = pool + uoff[id];
+            int64_t start = (j == 1) ? 0 : (k - 1);
+            for (int64_t t = start; t < len; ++t)
+                tmp.push_back(sid > 0 ? base[t]
+                                      : (uint8_t)(3 - base[len - 1 - t]));
+            if ((int64_t)tmp.size() >= offset + rlen) break;
+        }
+        out.insert(out.end(), headers + hdr_off[i], headers + hdr_off[i + 1]);
+        out.push_back('\n');
+        int64_t avail = (int64_t)tmp.size() - offset;
+        int64_t w = rlen < avail ? rlen : avail;   // defensive clamp
+        if (status[i] == 1) {
+            for (int64_t t = 0; t < w; ++t)
+                out.push_back((uint8_t)ACGT[tmp[offset + t]]);
+        } else {
+            for (int64_t t = 0; t < w; ++t)
+                out.push_back((uint8_t)ACGT[3 - tmp[offset + w - 1 - t]]);
+        }
+        out.push_back('\n');
+    }
+    uint8_t* res = (uint8_t*)malloc(out.size() ? out.size() : 1);
+    memcpy(res, out.data(), out.size());
+    *out_len = (int64_t)out.size();
+    return res;
+}
+
 void dbg_free_buf(uint8_t* p) { free(p); }
 
 }  // extern "C"

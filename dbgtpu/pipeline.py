@@ -138,14 +138,25 @@ def _run_file_bulk(
     stats.not_aligned += int((status == STATUS_FAILED).sum())
 
     if correction:
-        for i in np.nonzero(aligned)[0]:
-            h = parsed.headers[parsed.hdr_off[i] : parsed.hdr_off[i + 1]]
-            path = [int(v) for v in flat[path_off[i] : path_off[i + 1]]]
-            rlen = int(parsed.seq_off[i + 1] - parsed.seq_off[i])
-            corrected = recover_path(graph, path, rlen)
-            if status[i] == STATUS_ALIGNED_RC:
-                corrected = rc_codes(corrected)
-            paths_out.append(h + b"\n" + decode(corrected).encode() + b"\n")
+        if native.available():
+            paths_out.append(
+                native.format_corrected_native(
+                    parsed.headers, parsed.hdr_off, status, path_off,
+                    flat, parsed.seq_off, graph.pool, graph.offsets,
+                    graph.lengths, graph.k,
+                )
+            )
+        else:
+            for i in np.nonzero(aligned)[0]:
+                h = parsed.headers[parsed.hdr_off[i] : parsed.hdr_off[i + 1]]
+                path = [int(v) for v in flat[path_off[i] : path_off[i + 1]]]
+                rlen = int(parsed.seq_off[i + 1] - parsed.seq_off[i])
+                corrected = recover_path(graph, path, rlen)
+                if status[i] == STATUS_ALIGNED_RC:
+                    corrected = rc_codes(corrected)
+                paths_out.append(
+                    h + b"\n" + decode(corrected).encode() + b"\n"
+                )
     elif native.available():
         paths_out.append(
             native.format_paths_native(
@@ -163,11 +174,19 @@ def _run_file_bulk(
     if not aligned.all():
         chars = _CHARS[parsed.codes].copy()
         chars[parsed.nmask] = ord("N")
-        cb = chars.tobytes()
-        for i in np.nonzero(~aligned)[0]:
-            h = parsed.headers[parsed.hdr_off[i] : parsed.hdr_off[i + 1]]
-            s, e = int(parsed.seq_off[i]), int(parsed.seq_off[i + 1])
-            na_out.append(h + b"\n" + cb[s:e] + b"\n")
+        if native.available():
+            na_out.append(
+                native.format_notaligned_native(
+                    parsed.headers, parsed.hdr_off, status, chars,
+                    parsed.seq_off,
+                )
+            )
+        else:
+            cb = chars.tobytes()
+            for i in np.nonzero(~aligned)[0]:
+                h = parsed.headers[parsed.hdr_off[i] : parsed.hdr_off[i + 1]]
+                s, e = int(parsed.seq_off[i]), int(parsed.seq_off[i + 1])
+                na_out.append(h + b"\n" + cb[s:e] + b"\n")
     tick("notaligned", t)
 
 

@@ -92,3 +92,38 @@ def test_format_paths():
     flat = np.array([0, 1, -6, 2, 4], np.int32)
     out = native.format_paths_native(headers, hdr_off, status, path_off, flat)
     assert out == b">r0\n0.1.-6.\n>r2\n2.4.\n"
+
+
+def test_format_notaligned():
+    headers = b">r0>r1>r2"
+    hdr_off = np.array([0, 3, 6, 9], np.int64)
+    status = np.array([1, 0, 5], np.int32)
+    chars = np.frombuffer(b"ACGTGGCCAATT", np.uint8)
+    seq_off = np.array([0, 4, 8, 12], np.int64)
+    out = native.format_notaligned_native(
+        headers, hdr_off, status, chars, seq_off
+    )
+    assert out == b">r1\nGGCC\n>r2\nAATT\n"
+
+
+def test_corrected_native_matches_python_spec(tmp_path):
+    """-c output through the jax bulk pipeline (native recoverPath
+    formatter) must byte-match the python spec pipeline."""
+    from dbgtpu.pipeline import run_pipeline
+
+    reads_fa, unitigs_fa = synth.make_dataset(
+        seed=43, genome_len=12000, k=31, n_reads=200, err_frac=0.5,
+    )
+    rp, up = tmp_path / "r.fa", tmp_path / "u.fa"
+    rp.write_bytes(reads_fa)
+    up.write_bytes(unitigs_fa)
+    pj, nj, _ = run_pipeline(
+        [str(rp)], str(up), k=31, m=2, effort=2, impl="jax",
+        correction=True, batch_size=128,
+    )
+    pp, np_, _ = run_pipeline(
+        [str(rp)], str(up), k=31, m=2, effort=2, impl="python",
+        correction=True,
+    )
+    assert pj == pp
+    assert nj == np_

@@ -41,8 +41,11 @@ def test_probe_self_bit_matches_keyset():
     assert not pt_member_host(pt, ahi, alo).any()
 
 
+@pytest.mark.parametrize("window", [4, 3])
 @pytest.mark.parametrize("k", [4, 15, 21, 31])
-def test_closure_member_equals_per_position_scan(k):
+def test_closure_member_equals_per_position_scan(k, window):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     from dbgtpu.engine import core as C
@@ -51,6 +54,12 @@ def test_closure_member_equals_per_position_scan(k):
     g = _random_graph(rng, k)
     di = build_device_index(g)
     assert di.probe_tbl is not None
+    if window != di.probe_tbl.window:
+        pt = build_probe_table(
+            np.asarray(g.jkeys, np.uint64), k - 1, window=window
+        )
+        assert pt is not None and pt.window == window
+        di = dataclasses.replace(di, probe_tbl=pt)
     ix = C.index_to_device(di)
     k1 = k - 1
 
@@ -113,19 +122,21 @@ def test_align_batch_identical_with_and_without_probe_table(tmp_path):
         )
 
 
-def test_probe_bits_match_direct_query_oracle():
+@pytest.mark.parametrize("window", [4, 3])
+def test_probe_bits_match_direct_query_oracle(window):
     """The scatter-inversion build (device.build_probe_table) must set
     exactly the bits the ProbeTable definition states: for key z and
     orientation o, bit 0 = z in S, 1+4o+c = canon(succ1) in S,
-    9+4o+b = canon(pred1) in S, 17+16o+cc = canon(succ2) in S —
-    computed here the slow direct way per stored key."""
-    from dbgtpu.index.device import _EMPTY_KEY
-
+    9+4o+b = canon(pred1) in S, and (window 4 only) 17+16o+cc =
+    canon(succ2) in S — computed here the slow direct way per stored
+    key.  Rows store ~key-hi (empty slots are zeros)."""
     k1 = 14
     rng = np.random.default_rng(99)
     S = np.unique(rng.integers(0, 1 << (2 * k1), 3000, dtype=np.uint64))
     S = np.unique(np.minimum(S, seq.rcb(S, k1)))
-    pt = build_probe_table(S, k1)
+    pt = build_probe_table(S, k1, window=window)
+    assert pt.window == window
+    assert pt.rows.shape[1] == (32 if window == 4 else 24)
     mask = np.uint64((1 << (2 * k1)) - 1)
     top = np.uint64(2 * (k1 - 1))
 
@@ -135,15 +146,17 @@ def test_probe_bits_match_direct_query_oracle():
     def in_s(v):
         return np.isin(canon(v), S)
 
-    # pull (key, bits) pairs back out of the table rows
+    # pull (key, bits) pairs back out of the table rows (inverted hi)
     rows = pt.rows
-    used = rows[:, 0:8] != _EMPTY_KEY
-    keys = (rows[:, 0:8][used].astype(np.uint64) << np.uint64(32)) | rows[
+    used = rows[:, 0:8] != 0
+    keys = ((~rows[:, 0:8][used]).astype(np.uint64) << np.uint64(32)) | rows[
         :, 8:16
     ][used].astype(np.uint64)
-    w0 = rows[:, 16:24][used].astype(np.uint64)
-    w1 = rows[:, 24:32][used].astype(np.uint64)
-    bits = w0 | (w1 << np.uint64(32))
+    bits = rows[:, 16:24][used].astype(np.uint64)
+    assert used.sum() > 0 and np.isin(S, keys).all()
+    if window == 4:
+        w1 = rows[:, 24:32][used].astype(np.uint64)
+        bits = bits | (w1 << np.uint64(32))
 
     want = np.where(np.isin(keys, S), np.uint64(1), np.uint64(0))
     for o in range(2):
@@ -154,9 +167,10 @@ def test_probe_bits_match_direct_query_oracle():
         for b in range(4):
             v = (z >> np.uint64(2)) | (np.uint64(b) << top)
             want |= in_s(v).astype(np.uint64) << np.uint64(9 + 4 * o + b)
-        for cc in range(16):
-            v = ((z << np.uint64(4)) | np.uint64(cc)) & mask
-            want |= in_s(v).astype(np.uint64) << np.uint64(
-                17 + 16 * o + cc
-            )
+        if window == 4:
+            for cc in range(16):
+                v = ((z << np.uint64(4)) | np.uint64(cc)) & mask
+                want |= in_s(v).astype(np.uint64) << np.uint64(
+                    17 + 16 * o + cc
+                )
     np.testing.assert_array_equal(bits, want)
