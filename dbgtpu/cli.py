@@ -178,10 +178,29 @@ def main(argv: list[str] | None = None) -> int:
         f.write(paths)
     with open(na_file, "wb") as f:
         f.write(na)
-    print(f"Indexing in seconds : {int(stats.index_seconds)}")
-    for rf in reads_files:
-        print(rf)
-    sys.stdout.write(stats.summary())
+    print_summary = True
+    if args.num_processes > 1 and args.coordinator:
+        # coordinated run: reduce the counters across processes on the
+        # global mesh (the reference's shared atomics, aligner.h:68)
+        # and print ONE global stats block, on process 0
+        import numpy as np
+
+        from .dist.multihost import global_stats_sum
+
+        tot = global_stats_sum(np.array(
+            [stats.read_number, stats.aligned, stats.not_aligned,
+             stats.no_overlap], np.int64,
+        ))
+        if args.process_id == 0:
+            (stats.read_number, stats.aligned, stats.not_aligned,
+             stats.no_overlap) = (int(v) for v in tot)
+        else:
+            print_summary = False
+    if print_summary:
+        print(f"Indexing in seconds : {int(stats.index_seconds)}")
+        for rf in reads_files:
+            print(rf)
+        sys.stdout.write(stats.summary())
     if args.json_summary:
         import json
 

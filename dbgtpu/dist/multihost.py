@@ -58,6 +58,23 @@ def init_distributed(
     )
 
 
+def global_stats_sum(local):
+    """Sum a per-process int64 stats vector across every process of a
+    jax.distributed run (the TPU-native replacement for the reference's
+    shared-memory atomic counters, aligner.h:68): gathered over the
+    global device mesh, summed on host.  Identity when single-process.
+    """
+    import jax
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return np.asarray(local)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(local))
+    return np.asarray(gathered).sum(axis=0)
+
+
 def shard_files(
     files: Sequence[str], process_id: int, num_processes: int
 ) -> List[str]:

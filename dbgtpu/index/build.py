@@ -43,16 +43,53 @@ class UnitigGraph:
     lengths: np.ndarray               # int32 [n+1], lengths[0] == 0
     ubeg: np.ndarray                  # uint64 [n+1] begin (k-1)-mer
     uend: np.ndarray                  # uint64 [n+1] end (k-1)-mer
-    left: Dict[int, List[int]] = field(default_factory=dict)
-    right: Dict[int, List[int]] = field(default_factory=dict)
     anchors: Dict[int, Tuple[int, int]] = field(default_factory=dict)
     dog_mode: bool = False
-    # vectorized junction slot table (same content as left/right, the
-    # form build_device_index consumes without a per-key python loop):
+    # vectorized junction slot table (the canonical junction-index
+    # form, consumed by build_device_index and persisted directly):
     # jkeys uint64 [nj] sorted canonical keys; jvals int32 [nj, 8]
     # (cols 0:4 left slots, 4:8 right slots)
     jkeys: np.ndarray | None = None
     jvals: np.ndarray | None = None
+    # lazily materialized {canonical key -> [ids]} views of the slot
+    # table (insert order, slot-4 overwrite), used only by the python
+    # spec path — the device path never pays the O(n)-python cost
+    _left_d: Dict[int, List[int]] | None = None
+    _right_d: Dict[int, List[int]] | None = None
+
+    @property
+    def left(self) -> Dict[int, List[int]]:
+        if self._left_d is None:
+            self._build_junction_dicts()
+        return self._left_d
+
+    @left.setter
+    def left(self, d) -> None:
+        self._left_d = d
+
+    @property
+    def right(self) -> Dict[int, List[int]]:
+        if self._right_d is None:
+            self._build_junction_dicts()
+        return self._right_d
+
+    @right.setter
+    def right(self, d) -> None:
+        self._right_d = d
+
+    def _build_junction_dicts(self) -> None:
+        left: Dict[int, List[int]] = {}
+        right: Dict[int, List[int]] = {}
+        if self.jkeys is not None and len(self.jkeys):
+            for key, v in zip(self.jkeys.tolist(), self.jvals.tolist()):
+                ls = [x for x in v[:4] if x]
+                if ls:
+                    left[key] = ls
+                rs = [x for x in v[4:] if x]
+                if rs:
+                    right[key] = rs
+        self._left_d = left
+        self._right_d = right
 
     def unitig_codes(self, sid: int) -> np.ndarray:
         """Oriented unitig codes; negative sid = reverse complement."""
@@ -82,14 +119,6 @@ class UnitigGraph:
     def has_junction(self, rep: int) -> bool:
         """Canonical (k-1)-mer present in either junction dict."""
         return rep in self.left or rep in self.right
-
-
-def _slot_insert(d: Dict[int, List[int]], key: int, uid: int) -> None:
-    lst = d.setdefault(key, [])
-    if len(lst) < 4:
-        lst.append(uid)
-    else:
-        lst[3] = uid
 
 
 def parse_unitig_lines(path: str, k: int) -> List[bytes]:
@@ -184,16 +213,6 @@ def build_graph_from_seqs(seqs: List[bytes], k: int, dog_mode: bool = False) -> 
     slot = np.minimum(rank, 3)
     g.jvals = np.zeros((len(g.jkeys), 8), np.int32)
     g.jvals[inv, side_all * 4 + slot] = uid_all
-
-    for i in range(1, n + 1):
-        if beg_left[i - 1]:
-            _slot_insert(g.left, int(bkeys[i - 1]), i)
-        else:
-            _slot_insert(g.right, int(bkeys[i - 1]), i)
-        if end_right[i - 1]:
-            _slot_insert(g.right, int(ekeys[i - 1]), i)
-        else:
-            _slot_insert(g.left, int(ekeys[i - 1]), i)
 
     if dog_mode:
         # all k-mers of the pool via one rolling pass, then per-unitig

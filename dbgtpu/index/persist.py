@@ -1,13 +1,19 @@
-"""Index persistence: save/load the built graph index.
+"""Index persistence: save/load the built graph AND its device layout.
 
 The reference ships BooPHF save/load (BooPHF.h:927-1005) but never
 calls it — every run rebuilds the index (SURVEY.md §5).  dbgtpu makes
-persistence first-class: `--save-index` / `--load-index` on the CLI so
-large-graph startup is an mmap-fast npz load instead of a rebuild.
+persistence first-class: `--save-index` / `--load-index` on the CLI.
 
-The file stores the UnitigGraph's flat arrays plus the junction/anchor
-dictionaries in array form; device tables are rebuilt from these in
-vectorized numpy (fast) on load.
+v2 format (this module's writer): the UnitigGraph flat arrays
+(pool/offsets/lengths/extremities/jkeys+jvals slot table) PLUS the
+device-ready artifacts — ScanTable, ProbeTable, umeta, pool rows — so
+`--load-index` produces a device-ready index in O(file read) time with
+no rebuild (VERDICT r2 item 3: a loaded 1M-unitig index used to be
+slower to become device-ready than a fresh build, because only the
+python-dict-derived arrays were stored).  Uncompressed npz: zlib at
+~50 MB/s would cost more than it saves on multi-GB probe tables.
+
+v1 files (dict-derived arrays) still load, via the legacy path.
 """
 
 from __future__ import annotations
@@ -15,9 +21,146 @@ from __future__ import annotations
 import numpy as np
 
 from .build import UnitigGraph
+from .device import DeviceIndex, ProbeTable, ScanTable
 
-_MAGIC = "dbgtpu-index-v1"
+_MAGIC_V1 = "dbgtpu-index-v1"
+_MAGIC_V2 = "dbgtpu-index-v2"
 
+
+def _anchor_arrays(g: UnitigGraph) -> dict:
+    if not (g.dog_mode and g.anchors):
+        return {}
+    ak = np.fromiter(g.anchors.keys(), np.uint64, count=len(g.anchors))
+    order = np.argsort(ak, kind="stable")
+    av = np.array(list(g.anchors.values()), np.int64)
+    return dict(anchor_keys=ak[order], anchor_vals=av[order])
+
+
+def save_index(g: UnitigGraph, path: str, di: DeviceIndex | None = None) -> None:
+    """Persist graph + device layout (v2).  `di` defaults to the graph's
+    cached device index, building it if absent."""
+    if di is None:
+        di = getattr(g, "_device_index", None)
+    if di is None:
+        from .device import build_device_index
+
+        di = build_device_index(g, layout="scan")
+        g._device_index = di
+    d = dict(
+        magic=_MAGIC_V2, k=g.k, n_unitigs=g.n_unitigs,
+        pool=g.pool, offsets=g.offsets, lengths=g.lengths,
+        ubeg=g.ubeg, uend=g.uend, dog_mode=g.dog_mode,
+        jkeys=(g.jkeys if g.jkeys is not None else np.zeros(0, np.uint64)),
+        jvals=(g.jvals if g.jvals is not None else np.zeros((0, 8), np.int32)),
+        # device layout
+        d_umeta=di.umeta, d_pool_rows=di.pool_rows,
+        d_n_chunks=di.n_chunks, d_halo=di.halo_bases,
+        d_max_ulen=di.max_ulen, d_pool_words=di.pool_words,
+        d_uoff=di.uoff, d_ulen=di.ulen,
+        d_ubeg_hi=di.ubeg_hi, d_ubeg_lo=di.ubeg_lo,
+        d_uend_hi=di.uend_hi, d_uend_lo=di.uend_lo,
+        d_rcbeg_hi=di.rcbeg_hi, d_rcbeg_lo=di.rcbeg_lo,
+        d_rcend_hi=di.rcend_hi, d_rcend_lo=di.rcend_lo,
+        **_anchor_arrays(g),
+    )
+    st = di.scan_tbl
+    if st is not None:
+        d.update(st_keys=st.keys, st_vals=st.vals,
+                 st_nb=st.n_buckets, st_seed=st.seed)
+    pt = di.probe_tbl
+    if pt is not None:
+        d.update(pt_rows=pt.rows, pt_nb=pt.n_buckets,
+                 pt_seed=pt.seed, pt_window=pt.window)
+    at = di.anchor_scan
+    if at is not None:
+        d.update(at_keys=at.keys, at_vals=at.vals,
+                 at_nb=at.n_buckets, at_seed=at.seed)
+    np.savez(path, **d)
+
+
+def load_index(path: str) -> UnitigGraph:
+    """Load a persisted index; returns the graph with its device index
+    attached (`graph._device_index`) when the file carries one (v2)."""
+    z = np.load(path, allow_pickle=False)
+    magic = str(z["magic"])
+    if magic == _MAGIC_V1:
+        return _load_v1(z)
+    if magic != _MAGIC_V2:
+        raise ValueError(f"{path}: not a dbgtpu index file")
+    g = UnitigGraph(
+        k=int(z["k"]), n_unitigs=int(z["n_unitigs"]),
+        pool=z["pool"], offsets=z["offsets"], lengths=z["lengths"],
+        ubeg=z["ubeg"], uend=z["uend"],
+        dog_mode=bool(z["dog_mode"]),
+        jkeys=z["jkeys"], jvals=z["jvals"],
+    )
+    _load_anchors(g, z)
+    st = None
+    if "st_keys" in z:
+        st = ScanTable(z["st_keys"], z["st_vals"],
+                       int(z["st_nb"]), int(z["st_seed"]))
+    pt = None
+    if "pt_rows" in z:
+        pt = ProbeTable(z["pt_rows"], int(z["pt_nb"]),
+                        int(z["pt_seed"]), int(z["pt_window"]))
+    at = None
+    if "at_keys" in z:
+        at = ScanTable(z["at_keys"], z["at_vals"],
+                       int(z["at_nb"]), int(z["at_seed"]))
+    g._device_index = DeviceIndex(
+        k=g.k, pool=g.pool, pool_words=z["d_pool_words"],
+        uoff=z["d_uoff"], ulen=z["d_ulen"],
+        ubeg_hi=z["d_ubeg_hi"], ubeg_lo=z["d_ubeg_lo"],
+        uend_hi=z["d_uend_hi"], uend_lo=z["d_uend_lo"],
+        rcbeg_hi=z["d_rcbeg_hi"], rcbeg_lo=z["d_rcbeg_lo"],
+        rcend_hi=z["d_rcend_hi"], rcend_lo=z["d_rcend_lo"],
+        max_ulen=int(z["d_max_ulen"]),
+        anchor_scan=at, scan_tbl=st,
+        umeta=z["d_umeta"], pool_rows=z["d_pool_rows"],
+        n_chunks=int(z["d_n_chunks"]), halo_bases=int(z["d_halo"]),
+        probe_tbl=pt, mphf_junction=None,
+    )
+    return g
+
+
+def _load_anchors(g: UnitigGraph, z) -> None:
+    if "anchor_keys" in z:
+        av = z["anchor_vals"]
+        g.anchors = {
+            int(k): (int(av[i][0]), int(av[i][1]))
+            for i, k in enumerate(z["anchor_keys"])
+        }
+
+
+def _load_v1(z) -> UnitigGraph:
+    """Legacy loader: dict-derived arrays only; the device index is
+    rebuilt from the reconstructed slot table on first use."""
+    g = UnitigGraph(
+        k=int(z["k"]), n_unitigs=int(z["n_unitigs"]),
+        pool=z["pool"], offsets=z["offsets"], lengths=z["lengths"],
+        ubeg=z["ubeg"], uend=z["uend"],
+        dog_mode=bool(z["dog_mode"]),
+    )
+    g.left = _arrays_to_dict(z["left_keys"], z["left_flat"], z["left_off"])
+    g.right = _arrays_to_dict(z["right_keys"], z["right_flat"], z["right_off"])
+    _load_anchors(g, z)
+    # reconstruct the slot table so build_device_index takes the
+    # vectorized path rather than the per-key python loop
+    keys = np.union1d(
+        np.fromiter(g.left.keys(), np.uint64, count=len(g.left)),
+        np.fromiter(g.right.keys(), np.uint64, count=len(g.right)),
+    )
+    vals = np.zeros((len(keys), 8), np.int32)
+    for i, key in enumerate(keys.tolist()):
+        for j, uid in enumerate(g.left.get(key, [])[:4]):
+            vals[i, j] = uid
+        for j, uid in enumerate(g.right.get(key, [])[:4]):
+            vals[i, 4 + j] = uid
+    g.jkeys, g.jvals = keys, vals
+    return g
+
+
+# ---- legacy v1 writer kept for tests/back-compat tooling ----
 
 def _dict_to_arrays(d: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """{key -> [ids]} -> (keys u64 [N], flat int32, off int64 [N+1])."""
@@ -42,40 +185,21 @@ def _arrays_to_dict(keys, flat, off) -> dict:
 
 
 def save_graph(g: UnitigGraph, path: str) -> None:
+    """Legacy v1 writer (graph only, dict-derived arrays)."""
     lk, lf, lo = _dict_to_arrays(g.left)
     rk, rf, ro = _dict_to_arrays(g.right)
     d = dict(
-        magic=_MAGIC, k=g.k, n_unitigs=g.n_unitigs,
+        magic=_MAGIC_V1, k=g.k, n_unitigs=g.n_unitigs,
         pool=g.pool, offsets=g.offsets, lengths=g.lengths,
         ubeg=g.ubeg, uend=g.uend,
         left_keys=lk, left_flat=lf, left_off=lo,
         right_keys=rk, right_flat=rf, right_off=ro,
         dog_mode=g.dog_mode,
+        **_anchor_arrays(g),
     )
-    if g.dog_mode and g.anchors:
-        ak = np.fromiter(g.anchors.keys(), np.uint64, count=len(g.anchors))
-        order = np.argsort(ak, kind="stable")
-        av = np.array(list(g.anchors.values()), np.int64)
-        d.update(anchor_keys=ak[order], anchor_vals=av[order])
     np.savez_compressed(path, **d)
 
 
 def load_graph(path: str) -> UnitigGraph:
-    z = np.load(path)
-    if str(z["magic"]) != _MAGIC:
-        raise ValueError(f"{path}: not a dbgtpu index file")
-    g = UnitigGraph(
-        k=int(z["k"]), n_unitigs=int(z["n_unitigs"]),
-        pool=z["pool"], offsets=z["offsets"], lengths=z["lengths"],
-        ubeg=z["ubeg"], uend=z["uend"],
-        dog_mode=bool(z["dog_mode"]),
-    )
-    g.left = _arrays_to_dict(z["left_keys"], z["left_flat"], z["left_off"])
-    g.right = _arrays_to_dict(z["right_keys"], z["right_flat"], z["right_off"])
-    if "anchor_keys" in z:
-        av = z["anchor_vals"]
-        g.anchors = {
-            int(k): (int(av[i][0]), int(av[i][1]))
-            for i, k in enumerate(z["anchor_keys"])
-        }
-    return g
+    """Load either format (alias of load_index, kept for callers)."""
+    return load_index(path)

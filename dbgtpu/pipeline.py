@@ -261,9 +261,11 @@ def run_pipeline(
     if graph is None:
         graph = build_graph(unitig_file, k, dog_mode=(mode == "anchors"))
     if save_index:
-        from .index.persist import save_graph
+        from .index.persist import save_index as _save_index
 
-        save_graph(graph, save_index)
+        # v2: persists the device-ready layout too, so --load-index
+        # starts mapping in O(file read) with no rebuild
+        _save_index(graph, save_index)
     stats.index_seconds = time.monotonic() - t0
 
     paths_out: list[bytes] = []

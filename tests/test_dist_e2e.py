@@ -75,6 +75,58 @@ def test_cli_mesh_matches_single(dataset):
     assert os.path.getsize(p1) > 0
 
 
+def test_two_process_coordinator_jax_distributed(dataset, tmp_path):
+    """SURVEY §4 item 3 / VERDICT r2 item 6: a REAL jax.distributed run
+    — two localhost processes, --coordinator, CPU devices.  Exercises
+    init_distributed (global runtime bring-up), the cross-process
+    stats reduction (global_stats_sum over the global mesh), and the
+    merged-output byte parity."""
+    import socket
+
+    from dbgtpu.dist.multihost import merge_shards
+
+    tmp, rf, uf = dataset
+    p1, n1 = _cli(tmp, "coordref", rf, uf)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    paths = str(tmp_path / "paths")
+    na = str(tmp_path / "na")
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "dbgtpu",
+                "-r", rf, "-k", "21", "-g", uf, "-m", "2",
+                "-f", paths, "-a", na, "--impl", "jax",
+                "--batch-size", "256",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2", "--process-id", str(pid),
+            ],
+            env=_ENV,
+            cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))
+            ),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()
+        outs.append(out.decode())
+    # process 0 prints the GLOBAL stats block (counters psum'd across
+    # processes); process 1 prints none
+    n_total = open(rf, "rb").read().count(b">")
+    assert f"Reads : {n_total}\n" in outs[0]
+    assert "Reads :" not in outs[1]
+    merge_shards(paths, 2)
+    merge_shards(na, 2)
+    assert open(paths, "rb").read() == open(p1, "rb").read()
+    assert open(na, "rb").read() == open(n1, "rb").read()
+
+
 def test_two_process_merge_matches_single(dataset, tmp_path):
     from dbgtpu.dist.multihost import merge_shards, shard_path
 
