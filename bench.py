@@ -160,15 +160,24 @@ def main() -> int:
     lens_d = jax.device_put(lens_np, dev)
     jax.block_until_ready((batches, lens_d))
 
-    def step(words, nmbits):
-        fused = align_batch_packed(
-            ix, words, nmbits, lens_d,
-            mode="greedy", k=K, m=M, effort=EFFORT, L=L, pmax=PMAX,
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("L", "pmax"))
+    def step_jit(ix, words, nmbits, lens, *, L, pmax):
+        # ONE dispatch per batch: the packed mapping program inlined
+        # with its on-device summary (the former eager reductions added
+        # several dispatch round-trips per batch to the measurement)
+        fused = align_batch_packed.__wrapped__(
+            ix, words, nmbits, lens,
+            mode="greedy", k=K, m=M, effort=EFFORT, L=L, pmax=pmax,
         )
         status = fused[:, 0].astype(jnp.int32)
         aligned = jnp.sum((status == 1) | (status == 2))
         chk = jnp.sum(fused.astype(jnp.int32))
         return aligned.astype(jnp.int32), chk.astype(jnp.int32)
+
+    def step(words, nmbits):
+        return step_jit(ix, words, nmbits, lens_d, L=L, pmax=PMAX)
 
     # ---- cold-start split (VERDICT r2 item 5): XLA trace/lower vs
     # backend compile (persistent-cache-served on later runs) vs first

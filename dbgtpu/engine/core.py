@@ -336,10 +336,12 @@ def _closure_member(ix: IndexArrays, rep_hi, rep_lo, le, codes32, k1: int):
     shift-related, so neighbour extension bases come straight from it).
     Only valid when rep is the true canonical of the scanned kmers
     (i.e. the no-N path; N quirks break the shift relation's canon)."""
+    from ..index.device import PT_SLOTS as S_
+
     B, Lk = rep_hi.shape
     L = codes32.shape[1]
     nbp = ix.pt_rows.shape[0]
-    W = 4 if ix.pt_rows.shape[1] == 32 else 3
+    W = 4 if ix.pt_rows.shape[1] == 4 * S_ else 3
     J = (Lk + W - 1) // W
     pcols = [min(W * j + 1, Lk - 1) for j in range(J)]
 
@@ -351,16 +353,20 @@ def _closure_member(ix: IndexArrays, rep_hi, rep_lo, le, codes32, k1: int):
     b = (mix32(qhi ^ ix.pt_seed, qlo) & jnp.uint32(nbp - 1)).astype(
         jnp.int32
     )
-    row = ix.pt_rows[b]                                  # [B, J, 32|24]
+    row = ix.pt_rows[b]                              # [B, J, {4,3}*S_]
     # rows store ~key-hi so empty slots are natural zeros (device.py)
-    ok = (row[..., 0:8] == (qhi ^ _FULL32)[..., None]) & (
-        row[..., 8:16] == qlo[..., None]
+    ok = (row[..., 0:S_] == (qhi ^ _FULL32)[..., None]) & (
+        row[..., S_ : 2 * S_] == qlo[..., None]
     )
-    w0 = jnp.sum(jnp.where(ok, row[..., 16:24], jnp.uint32(0)),
-                 axis=-1, dtype=jnp.uint32)              # [B, J]
+    w0 = jnp.sum(
+        jnp.where(ok, row[..., 2 * S_ : 3 * S_], jnp.uint32(0)),
+        axis=-1, dtype=jnp.uint32,
+    )                                                # [B, J]
     if W == 4:
-        w1 = jnp.sum(jnp.where(ok, row[..., 24:32], jnp.uint32(0)),
-                     axis=-1, dtype=jnp.uint32)
+        w1 = jnp.sum(
+            jnp.where(ok, row[..., 3 * S_ : 4 * S_], jnp.uint32(0)),
+            axis=-1, dtype=jnp.uint32,
+        )
 
     onum = jnp.where(at(le, pcols), jnp.uint32(0), jnp.uint32(1))
     fb = at(codes32, [max(p - 1, 0) for p in pcols])     # pred base
@@ -1160,7 +1166,7 @@ def _unpack_words(words, nmbits, L: int):
     jax.jit,
     static_argnames=(
         "mode", "k", "m", "effort", "L", "pmax", "stage1_iters",
-        "jl_meta", "partial",
+        "jl_meta", "partial", "out_dtype",
     ),
 )
 def align_batch_packed(
@@ -1178,6 +1184,7 @@ def align_batch_packed(
     stage1_iters: int = 6,
     jl_meta=None,
     partial: bool = False,
+    out_dtype: str = "auto",   # "auto" = int16 when values fit; "int32"
 ):
     """Transfer-minimal production entry (all device modes).
 
@@ -1220,6 +1227,6 @@ def align_batch_packed(
     U = ix.umeta.shape[0]
     # int16 iff signed ids (|id| < U), offsets (< L) and true plens
     # (<= 2L+1) all fit
-    if U <= 32767 and 2 * L + 1 <= 32767:
+    if out_dtype == "auto" and U <= 32767 and 2 * L + 1 <= 32767:
         out = out.astype(jnp.int16)
     return out

@@ -200,19 +200,22 @@ class ProbeTable:
       key or its reverse complement; consecutive read kmers are shift-
       related, so b/c/cc are read directly from the read's base codes.)
 
-    window 4: keyset = canon(S ∪ succ(S±) ∪ succ²(S±)) ≈ 21·|S±|,
-    row [nb, 32] uint32 — cols 0:8 ~key-hi x8 slots (INVERTED so empty
-    slots are natural zeros: key-hi < 2^30 for k <= 32, hence a stored
-    ~hi is never 0 and a query's ~hi never matches an untouched slot —
-    rows come from a lazily-zeroed allocation, no full-table fill
-    pass), 8:16 key-lo, 16:24 bits word0, 24:32 bits word1.  Bit
-    layout (49 bits): 0 self; 1+4o+c succ1; 9+4o+b pred1; 17+16o+cc
-    succ2.
+    window 4: keyset = canon(S ∪ succ(S±) ∪ succ²(S±)) ≈ 21·|S±|.
+    Rows hold PT_SLOTS=32 slots each, sized for ~12 keys/bucket (TPU
+    row gathers are rate-bound by row COUNT, not width, so fat buckets
+    cost nothing on device while cutting HBM ~4x vs the former 8-slot
+    near-empty layout).  Row [nb, 128] uint32 — cols 0:32 ~key-hi
+    (INVERTED so empty slots are natural zeros: key-hi < 2^30 for
+    k <= 32, hence a stored ~hi is never 0 and a query's ~hi never
+    matches an untouched slot — rows come from a lazily-zeroed
+    allocation, no full-table fill pass), 32:64 key-lo, 64:96 bits
+    word0, 96:128 bits word1.  Bit layout (49 bits): 0 self; 1+4o+c
+    succ1; 9+4o+b pred1; 17+16o+cc succ2.
 
     window 3 (auto-selected when the window-4 rows would exceed
     PROBE_TABLE_MAX_BYTES — the large-graph mid-tier): keyset drops
     succ², ≈ 5·|S±| keys, and the 17 remaining bits fit word0, so rows
-    are [nb, 24].  The engine derives the window from the row width.
+    are [nb, 96].  The engine derives the window from the row width.
 
     A probe that misses proves all `window` positions are non-members;
     this trades one-time host build + HBM for a `window`-fold cut in
@@ -220,10 +223,14 @@ class ProbeTable:
     per-position MPHF loop.
     """
 
-    rows: np.ndarray      # uint32 [nb, 32] (window 4) / [nb, 24] (3)
+    rows: np.ndarray      # uint32 [nb, 128] (window 4) / [nb, 96] (3)
     n_buckets: int
     seed: int
     window: int = 4
+
+
+PT_SLOTS = 32              # probe-table slots per bucket row
+PT_TARGET_LOAD = 12        # keys per bucket the sizing aims for
 
 
 # skip the probe table when its device rows would exceed this budget
@@ -288,12 +295,15 @@ def build_probe_table(
     p = len(s_pm)
 
     def proj_bytes(nk_est: int, width: int) -> int:
-        return (1 << max(2, int(np.ceil(np.log2(nk_est))))) * width * 4
+        nb_est = 1 << max(
+            2, int(np.ceil(np.log2(max(1, nk_est / PT_TARGET_LOAD))))
+        )
+        return nb_est * width * 4
 
     if window is None:
-        if proj_bytes(n + 20 * p, 32) <= PROBE_TABLE_MAX_BYTES:
+        if proj_bytes(n + 20 * p, 4 * PT_SLOTS) <= PROBE_TABLE_MAX_BYTES:
             window = 4
-        elif proj_bytes(n + 4 * p, 24) <= PROBE_TABLE_MAX_BYTES:
+        elif proj_bytes(n + 4 * p, 3 * PT_SLOTS) <= PROBE_TABLE_MAX_BYTES:
             window = 3
         else:
             _log.warning(
@@ -303,7 +313,7 @@ def build_probe_table(
                 "gathers)", n + 4 * p, PROBE_TABLE_MAX_BYTES >> 20,
             )
             return None
-    width = 32 if window == 4 else 24
+    width = 4 * PT_SLOTS if window == 4 else 3 * PT_SLOTS
     c4 = np.arange(4, dtype=np.uint64)
 
     # closure keyset: canon(S ∪ succ1(S±) [∪ succ2(S±) for window 4]);
@@ -401,7 +411,8 @@ def build_probe_table(
     # size — pure waste, since overflow is a load property, not a seed
     # property).  A second seed guards against full-32-bit-hash
     # collisions; growth stops at the byte cap and downgrades.
-    nb0 = 1 << max(2, int(np.ceil(np.log2(nk))))
+    S_ = PT_SLOTS
+    nb0 = 1 << max(2, int(np.ceil(np.log2(max(1, nk / PT_TARGET_LOAD)))))
     for attempt in range(2):
         seed = np.uint32((0x9E3779B1 * (attempt + 1)) & 0xFFFFFFFF)
         h = _scan_hash(hi, lo, seed)
@@ -409,7 +420,7 @@ def build_probe_table(
         while nb * width * 4 <= max(PROBE_TABLE_MAX_BYTES, nb0 * width * 4):
             b = (h & np.uint32(nb - 1)).astype(np.int64)
             counts = np.bincount(b, minlength=nb)
-            if counts.max(initial=0) <= 8:
+            if counts.max(initial=0) <= S_:
                 # lazily-zeroed rows; empty slots are all-zero (the
                 # stored ~key-hi of a real key is never 0, see class doc)
                 rows = np.zeros((nb, width), np.uint32)
@@ -419,10 +430,10 @@ def build_probe_table(
                 np.cumsum(counts, out=start[1:])
                 slot = np.arange(nk) - start[bs]
                 rows[bs, slot] = ~hi[order]
-                rows[bs, 8 + slot] = lo[order]
-                rows[bs, 16 + slot] = bits0[order]
+                rows[bs, S_ + slot] = lo[order]
+                rows[bs, 2 * S_ + slot] = bits0[order]
                 if window == 4:
-                    rows[bs, 24 + slot] = bits1[order]
+                    rows[bs, 3 * S_ + slot] = bits1[order]
                 return ProbeTable(rows, nb, int(seed), window)
             nb <<= 1
     if window == 4:
@@ -441,13 +452,18 @@ def build_probe_table(
 
 def pt_member_host(pt: ProbeTable, hi, lo) -> np.ndarray:
     """Numpy mirror of the device self-membership bit (testing aid)."""
+    S_ = PT_SLOTS
     hi = np.asarray(hi, np.uint32)
     lo = np.asarray(lo, np.uint32)
     b = (_scan_hash(hi, lo, np.uint32(pt.seed))
          & np.uint32(pt.n_buckets - 1)).astype(np.int64)
     row = pt.rows[b]
-    ok = (row[..., 0:8] == ~hi[..., None]) & (row[..., 8:16] == lo[..., None])
-    w0 = np.where(ok, row[..., 16:24], 0).sum(axis=-1).astype(np.uint32)
+    ok = (row[..., 0:S_] == ~hi[..., None]) & (
+        row[..., S_ : 2 * S_] == lo[..., None]
+    )
+    w0 = np.where(ok, row[..., 2 * S_ : 3 * S_], 0).sum(
+        axis=-1
+    ).astype(np.uint32)
     return (w0 & 1).astype(bool)
 
 

@@ -1,0 +1,199 @@
+"""Large-graph mapping benchmark (VERDICT r2 item 4): ~1M unitigs.
+
+Measures, in ONE process (axon warmup amortized):
+  - index build + H2D time per config,
+  - steady-state packed mapping throughput at 131k reads,
+  - per-artifact HBM bytes (hbm_report),
+for three configs:
+  probe3    — default: auto window-3 closure probe table at this scale
+  noprobe   — probe table disabled (per-position scan fallback)
+  mphf      — compact MPHF junction layout + the same probe table
+
+plus the persisted-index load path: save_index -> load_index ->
+first-batch, which must be O(file read) (VERDICT item 3 done-bar:
+load -> first batch at 1M unitigs < 5 s host-side + transfer).
+
+Writes JSON lines to /tmp/r3_scale.jsonl and prints a summary table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = open("/tmp/r3_scale.jsonl", "a")
+N_UNITIGS = int(os.environ.get("DBGTPU_SCALE_UNITIGS", 1_000_000))
+N_READS = 131072
+K, M, EFFORT, READ_LEN = 31, 2, 2, 100
+_CACHE = f"/tmp/dbgtpu_scale_cache_{N_UNITIGS}.npz"
+
+
+def rec(**kw):
+    kw = {k: (round(v, 4) if isinstance(v, float) else v)
+          for k, v in kw.items()}
+    OUT.write(json.dumps(kw) + "\n")
+    OUT.flush()
+    print(kw, file=sys.stderr, flush=True)
+
+
+def workload():
+    from tests import synth
+    from dbgtpu.seq import encode
+
+    if os.path.exists(_CACHE):
+        z = np.load(_CACHE, allow_pickle=True)
+        return list(z["unitigs"]), z["codes"]
+    rng = np.random.default_rng(404)
+    genome = synth.make_genome(rng, int(N_UNITIGS * 65))
+    unitigs = synth.chop_unitigs(genome, K, rng, 40, 150)
+    reads = synth.sample_reads(genome, rng, N_READS, READ_LEN, err_frac=0.5)
+    codes = np.stack([encode(r) for r in reads])
+    np.savez(_CACHE, unitigs=np.array(unitigs, dtype=object), codes=codes)
+    return unitigs, codes
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dbgtpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    dev = jax.devices()[0]
+    t0 = time.monotonic()
+    np.asarray(jax.jit(lambda a: a + 1)(jax.device_put(
+        np.zeros(128, np.int32), dev)))
+    rec(phase="warmup", dt=time.monotonic() - t0)
+
+    t0 = time.monotonic()
+    unitigs, codes_all = workload()
+    rec(phase="workload", n_unitigs=len(unitigs),
+        dt=time.monotonic() - t0)
+
+    import dbgtpu.index.device as device_mod
+    from dbgtpu.index.build import build_graph_from_seqs
+    from dbgtpu.index.device import build_device_index, hbm_report
+    from dbgtpu.engine.core import (
+        align_batch_packed, index_to_device, jl_meta_of,
+    )
+    from dbgtpu.engine.runner import (
+        PMAX_CAP, _bucket_len, _pmax_for, pack_words_batch,
+    )
+
+    t0 = time.monotonic()
+    g = build_graph_from_seqs(unitigs, K)
+    rec(phase="graph_build", dt=time.monotonic() - t0)
+
+    B = 32768
+    L = _bucket_len(READ_LEN, K)
+    n_batches = N_READS // B
+    pad = np.zeros((B, L - codes_all.shape[1]), np.uint8)
+    nm = np.zeros((B, L), bool)
+    lens_d = jax.device_put(np.full(B, READ_LEN, np.int32), dev)
+    words_d = []
+    for i in range(n_batches):
+        w, bts = pack_words_batch(
+            np.concatenate([codes_all[i * B:(i + 1) * B], pad], axis=1),
+            nm,
+        )
+        words_d.append((jax.device_put(w, dev), jax.device_put(bts, dev)))
+    jax.block_until_ready((words_d, lens_d))
+
+    summary = []
+
+    def run_config(name, layout, cap):
+        old = device_mod.PROBE_TABLE_MAX_BYTES
+        device_mod.PROBE_TABLE_MAX_BYTES = cap
+        try:
+            t0 = time.monotonic()
+            di = build_device_index(g, layout=layout)
+            t_build = time.monotonic() - t0
+        finally:
+            device_mod.PROBE_TABLE_MAX_BYTES = old
+        rep = hbm_report(di)
+        t0 = time.monotonic()
+        ix = index_to_device(di)
+        jax.block_until_ready(ix)
+        t_h2d = time.monotonic() - t0
+        jlm = jl_meta_of(di)
+        pmax = min(_pmax_for(di, L), PMAX_CAP)
+
+        def step(i):
+            w, bts = words_d[i]
+            return align_batch_packed(
+                ix, w, bts, lens_d, mode="greedy", k=K, m=M,
+                effort=EFFORT, L=L, pmax=pmax, jl_meta=jlm,
+            )
+
+        t0 = time.monotonic()
+        first = np.asarray(step(0))
+        t_first = time.monotonic() - t0
+        aligned = int(((first[:, 0] == 1) | (first[:, 0] == 2)).sum())
+        ts = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            outs = [step(i) for i in range(n_batches)]
+            for o in outs:
+                np.asarray(o[:, 0])
+            ts.append(time.monotonic() - t0)
+        med = sorted(ts)[1]
+        rps = round(N_READS / med)
+        rec(phase="config", name=name, build_s=t_build, h2d_s=t_h2d,
+            first_s=t_first, reads_per_s=rps, aligned_frac=aligned / B,
+            hbm_mb={k: v >> 20 for k, v in rep.items()},
+            probe_window=(di.probe_tbl.window if di.probe_tbl else 0))
+        summary.append((name, t_build, t_h2d, rps, rep["total"] >> 20))
+        # free device arrays between configs
+        if hasattr(di, "_ix_arrays"):
+            del di._ix_arrays
+        for attr in ("_device_index", f"_device_index_{layout}"):
+            if hasattr(g, attr):
+                delattr(g, attr)
+        return di
+
+    di = run_config("probe3_scan", "scan", 2 << 30)
+    run_config("noprobe_scan", "scan", 0)
+    run_config("mphf_probe3", "mphf", 2 << 30)
+
+    # persisted-index load path (uses the probe3 scan DeviceIndex)
+    from dbgtpu.index.persist import load_index, save_index
+
+    g._device_index = di
+    p = "/tmp/dbgtpu_scale_index.npz"
+    t0 = time.monotonic()
+    save_index(g, p, di)
+    t_save = time.monotonic() - t0
+    t0 = time.monotonic()
+    g2 = load_index(p)
+    t_load = time.monotonic() - t0
+    di2 = g2._device_index
+    t0 = time.monotonic()
+    ix2 = index_to_device(di2)
+    jax.block_until_ready(ix2)
+    t_h2d2 = time.monotonic() - t0
+    pmax = min(_pmax_for(di2, L), PMAX_CAP)
+    t0 = time.monotonic()
+    w, bts = words_d[0]
+    np.asarray(align_batch_packed(
+        ix2, w, bts, lens_d, mode="greedy", k=K, m=M,
+        effort=EFFORT, L=L, pmax=pmax,
+    ))
+    t_first2 = time.monotonic() - t0
+    rec(phase="persist", save_s=t_save, load_s=t_load,
+        h2d_s=t_h2d2, first_batch_s=t_first2,
+        file_mb=os.path.getsize(p) >> 20)
+
+    print("\nconfig            build_s  h2d_s  reads/s    hbm_MB")
+    for name, tb, th, rps, mb in summary:
+        print(f"{name:<16} {tb:7.1f} {th:6.1f} {rps:9,} {mb:8}")
+    print(f"persist: save {t_save:.1f}s, load {t_load:.1f}s, "
+          f"h2d {t_h2d2:.1f}s, first batch {t_first2:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

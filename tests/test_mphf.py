@@ -68,6 +68,40 @@ def test_device_lookup_matches_host():
     np.testing.assert_array_equal(dev, host.astype(np.int64))
 
 
+def test_engine_mphf_slot_matches_device_lookup():
+    """engine.core._mphf_slot reimplements mphf.device_lookup over the
+    fused final-table rows; the two must agree on key AND non-key
+    queries (advisor r2: divergence guard)."""
+    import jax.numpy as jnp
+
+    from dbgtpu.engine import core as C
+    from dbgtpu.index.device import build_mphf_junction
+
+    keys = _random_keys(3000, seed=21)
+    vals = np.arange(8 * 3000, dtype=np.int32).reshape(3000, 8)
+    mj = build_mphf_junction(keys, vals)
+    m = mj.mphf
+
+    class _DI:  # minimal DeviceIndex stand-in for index_to_device
+        scan_tbl = None
+        probe_tbl = None
+        anchor_scan = None
+        mphf_junction = mj
+        umeta = np.zeros((1, 16), np.int32)
+        pool_rows = np.zeros((1, 10), np.uint32)
+        n_chunks = 1
+
+    ix = C.index_to_device(_DI())
+    jl = C.jl_meta_of(_DI())
+    absent = np.setdiff1d(_random_keys(1500, seed=23), keys)
+    queries = np.concatenate([keys, absent])
+    qhi, qlo = split64(queries)
+    got = np.asarray(C._mphf_slot(ix, jl, jnp.asarray(qhi),
+                                  jnp.asarray(qlo)))
+    want = np.asarray(device_lookup(to_device_arrays(m), qhi, qlo))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_save_load_roundtrip(tmp_path):
     keys = _random_keys(2500, seed=11)
     m = build_mphf(keys, gamma=2.0)

@@ -134,9 +134,11 @@ def test_probe_bits_match_direct_query_oracle(window):
     rng = np.random.default_rng(99)
     S = np.unique(rng.integers(0, 1 << (2 * k1), 3000, dtype=np.uint64))
     S = np.unique(np.minimum(S, seq.rcb(S, k1)))
+    from dbgtpu.index.device import PT_SLOTS as S_
+
     pt = build_probe_table(S, k1, window=window)
     assert pt.window == window
-    assert pt.rows.shape[1] == (32 if window == 4 else 24)
+    assert pt.rows.shape[1] == (4 * S_ if window == 4 else 3 * S_)
     mask = np.uint64((1 << (2 * k1)) - 1)
     top = np.uint64(2 * (k1 - 1))
 
@@ -148,14 +150,14 @@ def test_probe_bits_match_direct_query_oracle(window):
 
     # pull (key, bits) pairs back out of the table rows (inverted hi)
     rows = pt.rows
-    used = rows[:, 0:8] != 0
-    keys = ((~rows[:, 0:8][used]).astype(np.uint64) << np.uint64(32)) | rows[
-        :, 8:16
+    used = rows[:, 0:S_] != 0
+    keys = ((~rows[:, 0:S_][used]).astype(np.uint64) << np.uint64(32)) | rows[
+        :, S_ : 2 * S_
     ][used].astype(np.uint64)
-    bits = rows[:, 16:24][used].astype(np.uint64)
+    bits = rows[:, 2 * S_ : 3 * S_][used].astype(np.uint64)
     assert used.sum() > 0 and np.isin(S, keys).all()
     if window == 4:
-        w1 = rows[:, 24:32][used].astype(np.uint64)
+        w1 = rows[:, 3 * S_ : 4 * S_][used].astype(np.uint64)
         bits = bits | (w1 << np.uint64(32))
 
     want = np.where(np.isin(keys, S), np.uint64(1), np.uint64(0))
