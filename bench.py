@@ -39,8 +39,8 @@ K = 31
 M = 2
 EFFORT = 2
 READ_LEN = 100
-BATCH = int(os.environ.get("DBGTPU_BENCH_BATCH", 32768))
-N_BATCHES = int(os.environ.get("DBGTPU_BENCH_NBATCHES", 4))
+BATCH = int(os.environ.get("DBGTPU_BENCH_BATCH", 65536))
+N_BATCHES = int(os.environ.get("DBGTPU_BENCH_NBATCHES", 2))
 TIMED_REPS = int(os.environ.get("DBGTPU_BENCH_REPS", 3))
 
 _CACHE = os.environ.get(
@@ -250,11 +250,15 @@ def main() -> int:
                 f.write(b"".join(
                     h + r.tobytes() + b"\n" for h, r in zip(hdrs, rows)
                 ))
+            # e2e batches are 32k: four in-flight batches pipeline the
+            # host pack / H2D / compute / D2H legs better than two big
+            # ones (the steady-state loop above stays at BATCH, where
+            # per-dispatch overhead is what matters)
             for label, graph in (("cold", None), ("warm", g), ("warm", g)):
                 t0 = time.monotonic()
                 paths, na, st = run_pipeline(
                     [rf], uf, k=K, m=M, effort=EFFORT, impl="jax",
-                    batch_size=BATCH, graph=graph,
+                    batch_size=32768, graph=graph,
                 )
                 dt = time.monotonic() - t0
                 e2e[label] = n_reads / dt

@@ -85,6 +85,11 @@ def make_parser() -> argparse.ArgumentParser:
                    help="merge <paths>.shard0..N-1 and "
                         "<notAligned>.shard0..N-1 written by a "
                         "multi-host run, then exit")
+    p.add_argument("--shard-index", action="store_true",
+                   help="with --mesh: shard the junction/probe tables "
+                        "over the mesh devices (1/D HBM per chip; "
+                        "lookups ride ICI collectives) — for graphs "
+                        "exceeding one chip's HBM (greedy mode)")
     p.add_argument("--index-layout", choices=["scan", "mphf"],
                    default="scan",
                    help="junction index layout: scan = one-gather "
@@ -163,6 +168,7 @@ def main(argv: list[str] | None = None) -> int:
         process_id=args.process_id,
         num_processes=args.num_processes,
         index_layout=args.index_layout,
+        shard_index=args.shard_index,
     )
     if profiling:
         import jax

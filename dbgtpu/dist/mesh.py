@@ -114,29 +114,49 @@ def shard_batch_fn(mesh: Mesh, batch_fn):
 def sharded_packed_fn(
     mesh: Mesh, *, mode: str, k: int, m: int, effort: int, L: int,
     pmax: int, jl_meta=None, partial: bool = False,
+    shard_index: bool = False,
 ):
     """Sharded production batch call over the fused packed contract
-    (core.align_batch_packed): batch axis sharded, index replicated,
-    psum'd status histogram.  Memoized on (mesh, static args) so the
-    shard_map wrapper is built and traced once per shape combination
-    instead of per batch (the per-batch rebuild added measurable host
-    dispatch overhead across thousands of batches)."""
+    (core.align_batch_packed): batch axis sharded, psum'd status
+    histogram.  Memoized on (mesh, static args) so the shard_map
+    wrapper is built and traced once per shape combination instead of
+    per batch (the per-batch rebuild added measurable host dispatch
+    overhead across thousands of batches).
+
+    shard_index=False (default): index replicated per device — the
+    reference's shared-memory model (read-only, SURVEY §2.3).
+    shard_index=True: the two large tables (fused junction ScanTable +
+    closure ProbeTable) are bucket-range sharded over the SAME mesh
+    axis as the reads; lookups all_gather the bucket ids and
+    reduce-scatter the answering rows (core._sharded_rows), so each
+    device holds 1/D of the index — the >HBM-graph scaling mode."""
+
+    axis = READS_AXIS if shard_index else None
 
     def shard_fn(ix, words, nmbits, lens):
         fused = align_batch_packed(
             ix, words, nmbits, lens, mode=mode, k=k, m=m,
             effort=effort, L=L, pmax=pmax, jl_meta=jl_meta,
-            partial=partial,
+            partial=partial, shard_axis=axis,
         )
         counts = jax.lax.psum(
             status_counts(fused[:, 0].astype(jnp.int32)), READS_AXIS
         )
         return fused, counts
 
+    if shard_index:
+        ix_spec = IndexArrays(
+            st_fused=P(READS_AXIS), st_seed=P(), umeta=P(),
+            pool_rows=P(), n_chunks=P(), pt_rows=P(READS_AXIS),
+            pt_seed=P(), at_fused=P(), at_seed=P(), mph_words=P(),
+            mph_samples=P(), mph_jrows=P(), mph_f=P(),
+        )
+    else:
+        ix_spec = P()
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(READS_AXIS), P(READS_AXIS), P(READS_AXIS)),
+        in_specs=(ix_spec, P(READS_AXIS), P(READS_AXIS), P(READS_AXIS)),
         out_specs=(P(READS_AXIS), P()),
         check_vma=False,
     )

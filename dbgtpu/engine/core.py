@@ -280,17 +280,51 @@ def _mphf_slot(ix: IndexArrays, jl_meta, qhi, qlo):
     return res
 
 
-def _junction_vals(ix: IndexArrays, jl_meta, qhi, qlo):
+def _sharded_rows(table_shard, b, axis: str):
+    """Row gather from a bucket-range-sharded table (SURVEY §2.3
+    index-parallelism): `table_shard` is this device's [nb/D, W] slice
+    of the global [nb, W] table, `b` holds GLOBAL bucket ids for this
+    device's queries.  all_gather the query ids over the mesh axis,
+    answer the residents locally (zeros elsewhere), reduce-scatter the
+    row answers back — every device ends with its own queries' rows
+    while holding 1/D of the index in HBM.  Traffic rides ICI; this is
+    the capacity-over-bandwidth trade for graphs exceeding one chip's
+    HBM (the reference's answer was BooPHF compactness, BooPHF.h:825).
+    """
+    nb_local, W = table_shard.shape
+    me = jax.lax.axis_index(axis)
+    flatb = b.reshape(-1)
+    allb = jax.lax.all_gather(flatb, axis, tiled=True)     # [D*Q]
+    local = allb - me * nb_local
+    mine = (local >= 0) & (local < nb_local)
+    rows = table_shard[jnp.where(mine, local, 0)]
+    rows = jnp.where(mine[:, None], rows, jnp.zeros((), table_shard.dtype))
+    rows = jax.lax.psum_scatter(
+        rows, axis, scatter_dimension=0, tiled=True
+    )                                                       # [Q, W]
+    return rows.reshape(b.shape + (W,))
+
+
+def _junction_vals(ix: IndexArrays, jl_meta, qhi, qlo, shard_axis=None):
     """Junction lookup for canonical (k-1)-mers (any query shape):
     (found mask, vals8 int32 [..., 8] = 4 left + 4 right ID slots).
     Scan layout: ONE fused-row gather (key compare + masked row-sum
     value select).  MPHF layout: _mphf_slot + one jrows gather with the
-    stored-key verify (aliasing defense, aligner.cpp:158-169)."""
+    stored-key verify (aliasing defense, aligner.cpp:158-169).
+    shard_axis: mesh axis name when st_fused is bucket-range sharded
+    (each device holds nb/D rows; bucket ids here are GLOBAL, computed
+    against the global bucket count)."""
     if jl_meta is None:
-        nbm = jnp.uint32(ix.st_fused.shape[0] - 1)
-        frow = ix.st_fused[
-            (mix32(qhi ^ ix.st_seed, qlo) & nbm).astype(jnp.int32)
-        ]
+        if shard_axis is not None:
+            D = jax.lax.axis_size(shard_axis)
+            nbm = jnp.uint32(ix.st_fused.shape[0] * D - 1)
+            b = (mix32(qhi ^ ix.st_seed, qlo) & nbm).astype(jnp.int32)
+            frow = _sharded_rows(ix.st_fused, b, shard_axis)
+        else:
+            nbm = jnp.uint32(ix.st_fused.shape[0] - 1)
+            frow = ix.st_fused[
+                (mix32(qhi ^ ix.st_seed, qlo) & nbm).astype(jnp.int32)
+            ]
         ok = (frow[..., 0:8] == qhi[..., None]) & (
             frow[..., 8:16] == qlo[..., None]
         )
@@ -307,13 +341,19 @@ def _junction_vals(ix: IndexArrays, jl_meta, qhi, qlo):
     return found, row[..., 2:10].astype(jnp.int32)
 
 
-def _st_member(ix: IndexArrays, qhi, qlo, jl_meta=None):
+def _st_member(ix: IndexArrays, qhi, qlo, jl_meta=None, shard_axis=None):
     """Junction keyset membership (scan or MPHF layout)."""
     if jl_meta is None:
-        nb = ix.st_fused.shape[0]
-        mask = jnp.uint32(nb - 1)
-        b = (mix32(qhi ^ ix.st_seed, qlo) & mask).astype(jnp.int32)
-        row = ix.st_fused[b]                 # [..., 80]
+        if shard_axis is not None:
+            D = jax.lax.axis_size(shard_axis)
+            mask = jnp.uint32(ix.st_fused.shape[0] * D - 1)
+            b = (mix32(qhi ^ ix.st_seed, qlo) & mask).astype(jnp.int32)
+            row = _sharded_rows(ix.st_fused, b, shard_axis)
+        else:
+            nb = ix.st_fused.shape[0]
+            mask = jnp.uint32(nb - 1)
+            b = (mix32(qhi ^ ix.st_seed, qlo) & mask).astype(jnp.int32)
+            row = ix.st_fused[b]             # [..., 80]
         ok = (row[..., 0:8] == qhi[..., None]) & (
             row[..., 8:16] == qlo[..., None]
         )
@@ -322,7 +362,8 @@ def _st_member(ix: IndexArrays, qhi, qlo, jl_meta=None):
     return found
 
 
-def _closure_member(ix: IndexArrays, rep_hi, rep_lo, le, codes32, k1: int):
+def _closure_member(ix: IndexArrays, rep_hi, rep_lo, le, codes32, k1: int,
+                    shard_axis=None):
     """Anchor-scan membership for every position via W-position closure
     probes (index.device.ProbeTable): ONE row gather per W read
     positions instead of one per position — gathers are the serial
@@ -350,10 +391,16 @@ def _closure_member(ix: IndexArrays, rep_hi, rep_lo, le, codes32, k1: int):
 
     qhi = at(rep_hi, pcols)
     qlo = at(rep_lo, pcols)
-    b = (mix32(qhi ^ ix.pt_seed, qlo) & jnp.uint32(nbp - 1)).astype(
-        jnp.int32
-    )
-    row = ix.pt_rows[b]                              # [B, J, {4,3}*S_]
+    if shard_axis is not None:
+        D = jax.lax.axis_size(shard_axis)
+        b = (mix32(qhi ^ ix.pt_seed, qlo)
+             & jnp.uint32(nbp * D - 1)).astype(jnp.int32)
+        row = _sharded_rows(ix.pt_rows, b, shard_axis)
+    else:
+        b = (mix32(qhi ^ ix.pt_seed, qlo) & jnp.uint32(nbp - 1)).astype(
+            jnp.int32
+        )
+        row = ix.pt_rows[b]                          # [B, J, {4,3}*S_]
     # rows store ~key-hi so empty slots are natural zeros (device.py)
     ok = (row[..., 0:S_] == (qhi ^ _FULL32)[..., None]) & (
         row[..., S_ : 2 * S_] == qlo[..., None]
@@ -575,7 +622,7 @@ def _window_miss(
 
 def _junction_probe(
     ix: IndexArrays, mL, mRF, bhi, blo, pos, lens, rw_cur, nm_cur,
-    W2: int, Lw: int, k1: int, jl_meta=None,
+    W2: int, Lw: int, k1: int, jl_meta=None, shard_axis=None,
 ):
     """One junction evaluation: fused-row candidate lookup for the
     (k-1)-mer (bhi, blo) + windowed Hamming of all <=4 candidates
@@ -592,7 +639,9 @@ def _junction_probe(
     clo = jnp.where(is_canon, blo, rlo)
     # scan layout: ONE fused-row gather (slot-key compare + masked
     # row-sum value select); mphf layout: level bit-tests + jrows row
-    found, vals8 = _junction_vals(ix, jl_meta, chi, clo)   # [B], [B, 8]
+    found, vals8 = _junction_vals(
+        ix, jl_meta, chi, clo, shard_axis
+    )                                                      # [B], [B, 8]
     use_right = jnp.where(mL, is_canon, ~is_canon)
     cands = jnp.where(use_right[:, None], vals8[:, 4:8], vals8[:, 0:4])
     cands = jnp.where(found[:, None], cands, 0)         # [B, 4]
@@ -670,6 +719,9 @@ def pack_paths(res: dict, pmax: int):
     cost ~135 ms per 32k batch — 2/3 of the whole mapping step."""
     offset, llen, rlen = res["offset"], res["llen"], res["rlen"]
     lbuf, rbuf = res["lbuf"], res["rbuf"]
+    # the roll arithmetic below assumes one shared trailing width; a
+    # caller with unequal buffers would silently corrupt packed paths
+    assert lbuf.shape == rbuf.shape, (lbuf.shape, rbuf.shape)
     B, P = lbuf.shape
     # a[j] = lbuf[llen-1-j]: flip then roll left by P-llen; prepend the
     # offset column so a[j] answers output slots j in [0, llen]
@@ -692,7 +744,7 @@ def pack_paths(res: dict, pmax: int):
     jax.jit,
     static_argnames=(
         "k", "m", "effort", "max_iters", "pmax", "stage1_iters", "ablate",
-        "jl_meta",
+        "jl_meta", "shard_axis",
     ),
 )
 def align_batch(
@@ -711,6 +763,8 @@ def align_batch(
     #                       anchor scan (status := anchor counts);
     #                       capped loops are expressed via max_iters
     jl_meta=None,         # static MPHF junction descriptor (jl_meta_of)
+    shard_axis=None,      # mesh axis name when st_fused/pt_rows are
+    #                       bucket-range sharded (call under shard_map)
 ):
     """Align a batch.  Returns dict of per-read results."""
     B, L = codes.shape
@@ -734,10 +788,17 @@ def align_batch(
     # std: N encodes 3 throughout; buggy: rolled-in N encodes 0
     # (reference str2num vs nuc2int quirk, see model.scan_kmers).
     # The buggy scan differs from std only when the batch carries Ns;
-    # gate the extra k1-step scan behind the has-N cond.
+    # gate the extra k1-step scan behind the has-N cond.  Under a
+    # sharded index the predicate must be GLOBALLY uniform (the
+    # branches issue collectives; divergent branch choice would
+    # deadlock the mesh).
     has_n = jnp.any(nmask)
+    if shard_axis is not None:
+        has_n = jax.lax.psum(has_n.astype(jnp.int32), shard_axis) > 0
     std_hi, std_lo = _scan_kmer_pairs(codes32, k1, False)
-    rcs_hi, rcs_lo = _scan_kmer_pairs(codes32, k1, True)
+    # rc values via the O(log) bit swizzle of the forward scan instead
+    # of a second k1-step shift-OR scan (identical semantics)
+    rcs_hi, rcs_lo = rcb_pair(std_hi, std_lo, k1)
 
     def _bug_scan():
         bcodes32 = jnp.where(nmask & (col >= k1), jnp.uint32(0), codes32)
@@ -777,30 +838,30 @@ def align_batch(
         (reference str2num vs nuc2int, see model.scan_kmers) where the
         scanned 'canonical' is not a true canonical and the closure
         probe's shift relation does not hold."""
-        m1 = _st_member(ix, rep1_hi, rep1_lo, jl_meta) & valid
+        m1 = _st_member(ix, rep1_hi, rep1_lo, jl_meta, shard_axis) & valid
         le2 = pair_le(std_hi, std_lo, rcs_hi, rcs_lo)
         r_hi = jnp.where(le2, std_hi, rcs_hi)
         r_lo = jnp.where(le2, std_lo, rcs_lo)
-        m2 = _st_member(ix, r_hi, r_lo, jl_meta) & valid
+        m2 = _st_member(ix, r_hi, r_lo, jl_meta, shard_axis) & valid
         return m1, m2
 
     if ix.pt_rows.shape[0] > 0:
         def _fast_members():
             m = _closure_member(
-                ix, rep1_hi, rep1_lo, le1, codes32, k1
+                ix, rep1_hi, rep1_lo, le1, codes32, k1, shard_axis
             ) & valid
             return m, m
         member1, member2 = jax.lax.cond(
             has_n, _slow_members, _fast_members
         )
     else:
-        member1 = _st_member(ix, rep1_hi, rep1_lo, jl_meta) & valid
+        member1 = _st_member(ix, rep1_hi, rep1_lo, jl_meta, shard_axis) & valid
 
         def _member2():
             le2 = pair_le(std_hi, std_lo, rcs_hi, rcs_lo)
             r_hi = jnp.where(le2, std_hi, rcs_hi)
             r_lo = jnp.where(le2, std_lo, rcs_lo)
-            return _st_member(ix, r_hi, r_lo, jl_meta) & valid
+            return _st_member(ix, r_hi, r_lo, jl_meta, shard_axis) & valid
 
         member2 = jax.lax.cond(has_n, _member2, lambda: member1)
 
@@ -846,7 +907,7 @@ def align_batch(
     return _run_walks(
         ix, env, k=k, E=E, pmax=pmax,
         max_iters=max_iters, stage1_iters=stage1_iters, uncapped=uncapped,
-        jl_meta=jl_meta,
+        jl_meta=jl_meta, shard_axis=shard_axis,
     )
 
 
@@ -861,6 +922,7 @@ def _run_walks(
     stage1_iters: int,
     uncapped: bool,
     jl_meta=None,
+    shard_axis=None,
 ):
     """The batched walk state machine, generic over how walks start.
 
@@ -1005,7 +1067,7 @@ def _run_walks(
         nm_cur = jnp.where((orient == 0)[:, None], nmw, jnp.uint32(0))
         p = _junction_probe(
             ix, mL, mRF, bhi, blo, pos, lens, rw_cur, nm_cur,
-            W2, Lw, k1, jl_meta,
+            W2, Lw, k1, jl_meta, shard_axis,
         )
         miss = jnp.where(p["valid"], p["miss"], _BIG)
 
@@ -1080,20 +1142,42 @@ def _run_walks(
         return s
 
     def run(state, env, cap: int):
+        if shard_axis is None:
+            def cond(s):
+                live = jnp.any(s["phase"] != _DONE)
+                return live & (s["iters"] < cap) if cap else live
+
+            def body(s):
+                # one bookkeep resolves a full transition chain (FETCH ->
+                # LEFT -> RFIRST -> DONE checks run sequentially on the
+                # updated state), so one call per junction step suffices
+                s = bookkeep(s, env)
+                s = junction(s, env)
+                s["iters"] = s["iters"] + 1
+                return s
+
+            return jax.lax.while_loop(cond, body, state)
+
+        # sharded index: the loop body issues collectives, so EVERY
+        # device must iterate until the globally slowest shard is done
+        # (a per-shard exit would stop issuing collectives and deadlock
+        # the mesh).  Liveness is psum'd in the body and carried.
+        state = dict(state, live=jnp.bool_(True))
+
         def cond(s):
-            live = jnp.any(s["phase"] != _DONE)
-            return live & (s["iters"] < cap) if cap else live
+            return s["live"] & (s["iters"] < cap) if cap else s["live"]
 
         def body(s):
-            # one bookkeep resolves a full transition chain (its FETCH ->
-            # LEFT -> RFIRST -> DONE checks run sequentially on the
-            # updated state), so a single call per junction step suffices
             s = bookkeep(s, env)
             s = junction(s, env)
             s["iters"] = s["iters"] + 1
+            l = jnp.any(s["phase"] != _DONE).astype(jnp.int32)
+            s["live"] = jax.lax.psum(l, shard_axis) > 0
             return s
 
-        return jax.lax.while_loop(cond, body, state)
+        state = jax.lax.while_loop(cond, body, state)
+        state.pop("live")
+        return state
 
     # ---- staged execution: the batch advances in lockstep, so the
     # while loop runs as long as the SLOWEST read walks (~15 junction
@@ -1166,7 +1250,7 @@ def _unpack_words(words, nmbits, L: int):
     jax.jit,
     static_argnames=(
         "mode", "k", "m", "effort", "L", "pmax", "stage1_iters",
-        "jl_meta", "partial", "out_dtype",
+        "jl_meta", "partial", "out_dtype", "shard_axis",
     ),
 )
 def align_batch_packed(
@@ -1185,6 +1269,7 @@ def align_batch_packed(
     jl_meta=None,
     partial: bool = False,
     out_dtype: str = "auto",   # "auto" = int16 when values fit; "int32"
+    shard_axis=None,           # bucket-range-sharded index (greedy only)
 ):
     """Transfer-minimal production entry (all device modes).
 
@@ -1199,10 +1284,13 @@ def align_batch_packed(
     path bound are static), halving D2H again.
     """
     codes, nm = _unpack_words(words, nmbits, L)
+    if shard_axis is not None and mode != "greedy":
+        raise ValueError("sharded index supports greedy mode only")
     if mode == "greedy":
         res = align_batch.__wrapped__(
             ix, codes, nm, lens, k=k, m=m, effort=effort, pmax=pmax,
             stage1_iters=stage1_iters, jl_meta=jl_meta,
+            shard_axis=shard_axis,
         )
     elif mode == "anchors":
         from .dog import align_batch_anchors

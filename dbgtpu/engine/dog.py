@@ -53,7 +53,7 @@ from .core import (
     _first_k_hits, _last_k_hits_rc, _read_images, _run_walks,
     _scan_kmer_pairs, _window_miss,
 )
-from .kmer32 import mix32, pair_le
+from .kmer32 import mix32, pair_le, rcb_pair
 
 
 def _anchor_lookup(ix: IndexArrays, chi, clo):
@@ -173,7 +173,7 @@ def align_batch_anchors(
     # k-mer scan (N encodes 3 throughout; no rolling quirk, see module
     # docstring) + canonical anchor lookup at every position
     fhi, flo = _scan_kmer_pairs(codes32, k, False)
-    rhi, rlo = _scan_kmer_pairs(codes32, k, True)
+    rhi, rlo = rcb_pair(fhi, flo, k)
     le_f = pair_le(fhi, flo, rhi, rlo)
     chi = jnp.where(le_f, fhi, rhi)
     clo = jnp.where(le_f, flo, rlo)

@@ -113,7 +113,7 @@ def align_batch_exhaustive(
     # keys (get_end's lookup canon, not the scan's register-min rep) ----
     has_n = jnp.any(nmask)
     std_hi, std_lo = _scan_kmer_pairs(codes32, k1, False)
-    rcs_hi, rcs_lo = _scan_kmer_pairs(codes32, k1, True)
+    rcs_hi, rcs_lo = rcb_pair(std_hi, std_lo, k1)
 
     def _bug_scan():
         bcodes32 = jnp.where(nmask & (col >= k1), jnp.uint32(0), codes32)

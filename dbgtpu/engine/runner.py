@@ -113,6 +113,8 @@ def align_bulk(
     partial: bool = False,
     mesh=None,                   # jax.sharding.Mesh: shard batches over it
     index_layout: str = "scan",  # "mphf" = compact junction layout
+    shard_index: bool = False,   # shard the big index tables over the
+    #                              mesh (1/D HBM per device; greedy only)
 ):
     """Bulk array alignment, input order preserved.
 
@@ -159,11 +161,22 @@ def align_bulk(
         nmesh = mesh.devices.size
         if batch_size % nmesh:
             batch_size = ((batch_size + nmesh - 1) // nmesh) * nmesh
+        if shard_index:
+            nb_st = di.scan_tbl.keys.shape[0] if di.scan_tbl else 0
+            nb_pt = di.probe_tbl.rows.shape[0] if di.probe_tbl else 0
+            if mode != "greedy" or nb_st < nmesh or (
+                0 < nb_pt < nmesh
+            ):
+                raise ValueError(
+                    "--shard-index requires greedy mode and index "
+                    "tables with at least one bucket row per device"
+                )
 
         def batch_fn(ix, words, nmbits, blens, *, L, pmax):
             fn = sharded_packed_fn(
                 mesh, mode=mode, k=k, m=m, effort=effort, L=L,
                 pmax=pmax, jl_meta=jlm, partial=partial,
+                shard_index=shard_index,
             )
             fused, _counts = fn(ix, words, nmbits, blens)
             return fused
@@ -172,12 +185,9 @@ def align_bulk(
     lens_all = np.diff(parsed.seq_off).astype(np.int32)
     status_all = np.zeros(N, np.int32)
     counts_all = np.zeros(N, np.int64)
-    flat_parts: list[np.ndarray] = []
+    flat_parts: list = []     # per-batch flat path rows, filled by slot
 
-    pending: list[tuple[int, object, int, int]] = []  # (s0, fused, nb, pmax)
-
-    def drain_one():
-        s0, fused, nb, pmax = pending.pop(0)
+    def drain_one(s0, fused, nb, pmax, slot):
         out = np.asarray(fused)
         status = out[:nb, 0].astype(np.int32)
         plen = out[:nb, 1].astype(np.int32)
@@ -208,34 +218,47 @@ def align_bulk(
         counts_all[s0 : s0 + nb] = counts
         cols = np.arange(paths.shape[1])[None, :]
         mask = aligned[:, None] & (cols < counts[:, None])
-        flat_parts.append(paths[mask])
+        flat_parts[slot] = paths[mask]
 
-    for s0 in range(0, N, batch_size):
-        nb = min(batch_size, N - s0)
-        lens = lens_all[s0 : s0 + nb]
-        L = _bucket_len(int(lens.max(initial=k + 1)), k)
-        pmax = min(_pmax_for(di, L), PMAX_CAP)
-        starts = parsed.seq_off[s0 : s0 + nb]
-        col = np.arange(L, dtype=np.int64)[None, :]
-        gidx = starts[:, None] + np.minimum(col, (lens - 1)[:, None])
-        valid = col < lens[:, None]
-        codes = np.zeros((batch_size, L), np.uint8)
-        nmask = np.zeros((batch_size, L), bool)
-        codes[:nb] = np.where(valid, parsed.codes[gidx], 0)
-        nmask[:nb] = parsed.nmask[gidx] & valid
-        blens = np.zeros(batch_size, np.int32)
-        blens[:nb] = lens
-        words, nmbits = pack_words_batch(codes, nmask)
-        fused = batch_fn(ix, words, nmbits, blens, L=L, pmax=pmax)
-        try:
-            fused.copy_to_host_async()   # start D2H behind later work
-        except AttributeError:
-            pass
-        pending.append((s0, fused, nb, pmax))
-        if len(pending) >= 3:  # rolling drain keeps a short pipeline
-            drain_one()
-    while pending:
-        drain_one()
+    # Drain on a single worker thread: np.asarray's device wait
+    # releases the GIL, so result D2H + host unpack of batch i overlap
+    # the main thread's pack/dispatch of batches i+1.. — the host-side
+    # pipeline the reference gets from its reader/worker threads
+    # (aligner.cpp:550-597), here with exactly one consumer so the
+    # result arrays need no locking (disjoint row ranges per batch).
+    from concurrent.futures import ThreadPoolExecutor
+
+    futures = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        for slot, s0 in enumerate(range(0, N, batch_size)):
+            nb = min(batch_size, N - s0)
+            lens = lens_all[s0 : s0 + nb]
+            L = _bucket_len(int(lens.max(initial=k + 1)), k)
+            pmax = min(_pmax_for(di, L), PMAX_CAP)
+            starts = parsed.seq_off[s0 : s0 + nb]
+            col = np.arange(L, dtype=np.int64)[None, :]
+            gidx = starts[:, None] + np.minimum(col, (lens - 1)[:, None])
+            valid = col < lens[:, None]
+            codes = np.zeros((batch_size, L), np.uint8)
+            nmask = np.zeros((batch_size, L), bool)
+            codes[:nb] = np.where(valid, parsed.codes[gidx], 0)
+            nmask[:nb] = parsed.nmask[gidx] & valid
+            blens = np.zeros(batch_size, np.int32)
+            blens[:nb] = lens
+            words, nmbits = pack_words_batch(codes, nmask)
+            fused = batch_fn(ix, words, nmbits, blens, L=L, pmax=pmax)
+            try:
+                fused.copy_to_host_async()  # start D2H behind later work
+            except AttributeError:
+                pass
+            flat_parts.append(None)
+            futures.append(
+                pool.submit(drain_one, s0, fused, nb, pmax, slot)
+            )
+            if len(futures) >= 4:     # bound in-flight device buffers
+                futures.pop(0).result()
+        for f in futures:
+            f.result()
 
     path_off = np.zeros(N + 1, np.int64)
     np.cumsum(counts_all, out=path_off[1:])

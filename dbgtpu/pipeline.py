@@ -100,7 +100,7 @@ def _format_paths_python(headers, hdr_off, status, path_off, flat):
 def _run_file_bulk(
     graph, rf, m, effort, fastq, correction, batch_size,
     stats, paths_out, na_out, mode="greedy", partial=False,
-    mesh=None, rec_range=None, index_layout="scan",
+    mesh=None, rec_range=None, index_layout="scan", shard_index=False,
 ):
     import os
     import sys
@@ -125,6 +125,7 @@ def _run_file_bulk(
     status, path_off, flat = align_bulk(
         graph, parsed, m, effort, batch_size=batch_size, mode=mode,
         partial=partial, mesh=mesh, index_layout=index_layout,
+        shard_index=shard_index,
     )
     t = tick("align", t)
     if stats.index_hbm is None:
@@ -245,6 +246,7 @@ def run_pipeline(
     process_id: int = 0,
     num_processes: int = 1,
     index_layout: str = "scan",
+    shard_index: bool = False,
 ):
     """Returns (paths_bytes, not_aligned_bytes, RunStats).
 
@@ -297,6 +299,7 @@ def run_pipeline(
                 graph, rf, m, effort, fastq, correction, batch_size,
                 stats, paths_out, na_out, mode=mode, partial=partial,
                 mesh=mesh, rec_range=rec_range, index_layout=index_layout,
+                shard_index=shard_index,
             )
         stats.map_seconds = time.monotonic() - t1
         return b"".join(paths_out), b"".join(na_out), stats

@@ -54,15 +54,15 @@ def test_build_200k_window3_downgrade(monkeypatch):
     unitigs = _unitigs(200_000, 19)
     g = build_graph_from_seqs(unitigs, 31)
     monkeypatch.setattr(
-        device_mod, "PROBE_TABLE_MAX_BYTES", 512 << 20
+        device_mod, "PROBE_TABLE_MAX_BYTES", 256 << 20
     )
     t0 = time.monotonic()
     di = build_device_index(g)
     dt = time.monotonic() - t0
     assert di.probe_tbl is not None
     assert di.probe_tbl.window == 3
-    assert di.probe_tbl.rows.shape[1] == 24
-    assert di.probe_tbl.rows.nbytes <= 512 << 20
+    assert di.probe_tbl.rows.shape[1] == 3 * device_mod.PT_SLOTS
+    assert di.probe_tbl.rows.nbytes <= 256 << 20
     assert dt < 60, f"window-3 200k build took {dt:.1f}s"
 
 
