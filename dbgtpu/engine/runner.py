@@ -187,8 +187,39 @@ def align_bulk(
     counts_all = np.zeros(N, np.int64)
     flat_parts: list = []     # per-batch flat path rows, filled by slot
 
+    def spec_batch(s0, nb):
+        """Host-spec recovery for one batch (SURVEY §5 failure
+        recovery: mapping is stateless per read, so recovering from a
+        device/dispatch failure is recomputing the affected records —
+        nothing upstream or downstream is dirtied)."""
+        status = np.zeros(nb, np.int32)
+        rows = []
+        for i in range(nb):
+            _, codes, nm = parsed.record(s0 + i)
+            st, path = spec_align(graph, codes, nm)
+            status[i] = st
+            rows.append(path or [])
+        counts = np.array(
+            [len(r) if status[j] in (1, 2) else 0
+             for j, r in enumerate(rows)], np.int64,
+        )
+        flat = (
+            np.concatenate([np.asarray(r, np.int32) for r in rows])
+            if any(len(r) for r in rows) else np.zeros(0, np.int32)
+        )
+        return status, counts, flat
+
     def drain_one(s0, fused, nb, pmax, slot):
-        out = np.asarray(fused)
+        try:
+            out = np.asarray(fused)
+        except Exception:
+            # device result lost (e.g. dropped tunnel session):
+            # batch-level restart on host — exact, just slow
+            status, counts, flat = spec_batch(s0, nb)
+            status_all[s0 : s0 + nb] = status
+            counts_all[s0 : s0 + nb] = counts
+            flat_parts[slot] = flat
+            return
         status = out[:nb, 0].astype(np.int32)
         plen = out[:nb, 1].astype(np.int32)
         paths = out[:nb, 2:].astype(np.int32)
@@ -246,12 +277,22 @@ def align_bulk(
             blens = np.zeros(batch_size, np.int32)
             blens[:nb] = lens
             words, nmbits = pack_words_batch(codes, nmask)
-            fused = batch_fn(ix, words, nmbits, blens, L=L, pmax=pmax)
+            flat_parts.append(None)
             try:
+                fused = batch_fn(ix, words, nmbits, blens, L=L, pmax=pmax)
                 fused.copy_to_host_async()  # start D2H behind later work
             except AttributeError:
-                pass
-            flat_parts.append(None)
+                pass                        # no async copy: still fine
+            except Exception:
+                # dispatch failed: batch-level restart on host
+                def _recover(s0=s0, nb=nb, slot=slot):
+                    status, counts, flat = spec_batch(s0, nb)
+                    status_all[s0 : s0 + nb] = status
+                    counts_all[s0 : s0 + nb] = counts
+                    flat_parts[slot] = flat
+
+                futures.append(pool.submit(_recover))
+                continue
             futures.append(
                 pool.submit(drain_one, s0, fused, nb, pmax, slot)
             )
