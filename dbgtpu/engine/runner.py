@@ -259,6 +259,9 @@ def align_bulk(
     # result arrays need no locking (disjoint row ranges per batch).
     from concurrent.futures import ThreadPoolExecutor
 
+    from .. import native
+
+    use_native_pack = native.available()
     futures = []
     with ThreadPoolExecutor(max_workers=1) as pool:
         for slot, s0 in enumerate(range(0, N, batch_size)):
@@ -266,19 +269,38 @@ def align_bulk(
             lens = lens_all[s0 : s0 + nb]
             L = _bucket_len(int(lens.max(initial=k + 1)), k)
             pmax = min(_pmax_for(di, L), PMAX_CAP)
-            starts = parsed.seq_off[s0 : s0 + nb]
-            col = np.arange(L, dtype=np.int64)[None, :]
-            gidx = starts[:, None] + np.minimum(col, (lens - 1)[:, None])
-            valid = col < lens[:, None]
-            codes = np.zeros((batch_size, L), np.uint8)
-            nmask = np.zeros((batch_size, L), bool)
-            codes[:nb] = np.where(valid, parsed.codes[gidx], 0)
-            nmask[:nb] = parsed.nmask[gidx] & valid
-            blens = np.zeros(batch_size, np.int32)
-            blens[:nb] = lens
-            words, nmbits = pack_words_batch(codes, nmask)
+            if use_native_pack:
+                words, nmbits, blens = native.pack_batch_native(
+                    parsed, s0, nb, batch_size, L
+                )
+            else:
+                starts = parsed.seq_off[s0 : s0 + nb]
+                col = np.arange(L, dtype=np.int64)[None, :]
+                gidx = starts[:, None] + np.minimum(
+                    col, (lens - 1)[:, None]
+                )
+                valid = col < lens[:, None]
+                codes = np.zeros((batch_size, L), np.uint8)
+                nmask = np.zeros((batch_size, L), bool)
+                codes[:nb] = np.where(valid, parsed.codes[gidx], 0)
+                nmask[:nb] = parsed.nmask[gidx] & valid
+                blens = np.zeros(batch_size, np.int32)
+                blens[:nb] = lens
+                words, nmbits = pack_words_batch(codes, nmask)
             flat_parts.append(None)
             try:
+                if mesh is None:
+                    # explicit async H2D: the uploads start now and
+                    # overlap this loop's next-batch packing; the
+                    # dispatch below then references in-flight buffers
+                    # instead of paying a synchronous transfer inside
+                    # the call (mesh batches go through shard_map's own
+                    # per-device placement instead)
+                    import jax as _jax
+
+                    words = _jax.device_put(words)
+                    nmbits = _jax.device_put(nmbits)
+                    blens = _jax.device_put(blens)
                 fused = batch_fn(ix, words, nmbits, blens, L=L, pmax=pmax)
                 fused.copy_to_host_async()  # start D2H behind later work
             except AttributeError:

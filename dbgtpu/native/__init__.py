@@ -93,6 +93,13 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.dbg_pack_batch.restype = None
+    lib.dbg_pack_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.dbg_free_buf.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
     return lib
 
@@ -258,6 +265,39 @@ def format_paths_native(
         ) if out_len.value else b""
     finally:
         lib.dbg_free_buf(buf)
+
+
+def pack_batch_native(
+    parsed: ParsedReads, s0: int, nb: int, B: int, L: int,
+):
+    """Records [s0, s0+nb) -> (words uint32 [B, ceil(L/16)], nmbits
+    uint32 [B, ceil(L/32)], lens int32 [B]), zero-padded — the device
+    H2D layout of engine.runner.pack_words_batch, built in one C pass
+    (the numpy slice+pad+pack pipeline cost ~55 ms per 32k batch)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native io unavailable")
+    Lw, Lb = (L + 15) // 16, (L + 31) // 32
+    words = np.zeros((B, Lw), np.uint32)
+    nmbits = np.zeros((B, Lb), np.uint32)
+    lens = np.zeros(B, np.int32)
+    codes = np.ascontiguousarray(parsed.codes, np.uint8)
+    nmask = np.ascontiguousarray(parsed.nmask).view(np.uint8)
+    seq_off = np.ascontiguousarray(parsed.seq_off, np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.dbg_pack_batch(
+        codes.ctypes.data_as(u8p),
+        nmask.ctypes.data_as(u8p),
+        seq_off.ctypes.data_as(i64p),
+        s0, nb, L,
+        words.ctypes.data_as(u32p),
+        nmbits.ctypes.data_as(u32p),
+        lens.ctypes.data_as(i32p),
+    )
+    return words, nmbits, lens
 
 
 def format_corrected_native(

@@ -297,6 +297,33 @@ uint8_t* dbg_format_corrected(
     return res;
 }
 
+// Pack a batch of parsed records straight into the device H2D layout
+// (engine.runner pack_words_batch semantics): records [s0, s0+nb) of
+// the flat code/nmask streams, padded to B rows x L bases, emitted as
+// 2-bit words (base j at bits 2*(j%16) of word j/16) and 1-bit N-mask
+// words.  Caller provides zeroed outputs: words [B, (L+15)/16],
+// nmbits [B, (L+31)/32], lens [B].
+void dbg_pack_batch(
+    const uint8_t* codes, const uint8_t* nmask, const int64_t* seq_off,
+    int64_t s0, int64_t nb, int64_t L,
+    uint32_t* words, uint32_t* nmbits, int32_t* lens_out) {
+    int64_t Lw = (L + 15) / 16, Lb = (L + 31) / 32;
+    for (int64_t i = 0; i < nb; ++i) {
+        int64_t off = seq_off[s0 + i];
+        int64_t n = seq_off[s0 + i + 1] - off;
+        if (n > L) n = L;
+        lens_out[i] = (int32_t)n;
+        uint32_t* w = words + i * Lw;
+        uint32_t* nm = nmbits + i * Lb;
+        const uint8_t* c = codes + off;
+        const uint8_t* q = nmask + off;
+        for (int64_t j = 0; j < n; ++j) {
+            w[j >> 4] |= (uint32_t)(c[j] & 3) << (2 * (j & 15));
+            if (q[j]) nm[j >> 5] |= (uint32_t)1 << (j & 31);
+        }
+    }
+}
+
 void dbg_free_buf(uint8_t* p) { free(p); }
 
 }  // extern "C"
