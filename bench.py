@@ -265,6 +265,27 @@ def main() -> int:
                 log(f"end-to-end ({label}): {dt:.1f}s for {n_reads} "
                     f"reads -> {e2e[label]:,.0f} reads/s "
                     f"({len(paths)} path bytes, {st.aligned} aligned)")
+
+            # persisted-index start: load a v2 npz (device-ready, no
+            # rebuild) in a fresh graph object, then map — the
+            # --load-index production start path
+            from dbgtpu.index.persist import load_index, save_index
+
+            idx = os.path.join(td, "index.npz")
+            save_index(g, idx)
+            t0 = time.monotonic()
+            g2 = load_index(idx)
+            t_load = time.monotonic() - t0
+            t0 = time.monotonic()
+            paths, na, st = run_pipeline(
+                [rf], uf, k=K, m=M, effort=EFFORT, impl="jax",
+                batch_size=32768, graph=g2,
+            )
+            dt = time.monotonic() - t0
+            e2e["load"] = n_reads / (dt + t_load)
+            log(f"end-to-end (load-index): load {t_load:.1f}s + map "
+                f"{dt:.1f}s -> {e2e['load']:,.0f} reads/s "
+                f"({st.aligned} aligned)")
     except Exception as e:  # never lose the headline metric
         log(f"end-to-end leg failed: {type(e).__name__}: {e}")
 
@@ -281,6 +302,8 @@ def main() -> int:
         )
     if "cold" in e2e:
         out["end_to_end_cold_reads_per_sec"] = round(e2e["cold"], 1)
+    if "load" in e2e:
+        out["end_to_end_load_index_reads_per_sec"] = round(e2e["load"], 1)
     print(json.dumps(out))
     return 0
 

@@ -302,9 +302,6 @@ def align_bulk(
                     nmbits = _jax.device_put(nmbits)
                     blens = _jax.device_put(blens)
                 fused = batch_fn(ix, words, nmbits, blens, L=L, pmax=pmax)
-                fused.copy_to_host_async()  # start D2H behind later work
-            except AttributeError:
-                pass                        # no async copy: still fine
             except Exception:
                 # dispatch failed: batch-level restart on host
                 def _recover(s0=s0, nb=nb, slot=slot):
@@ -315,6 +312,10 @@ def align_bulk(
 
                 futures.append(pool.submit(_recover))
                 continue
+            try:
+                fused.copy_to_host_async()  # start D2H behind later work
+            except AttributeError:
+                pass                        # no async copy: still fine
             futures.append(
                 pool.submit(drain_one, s0, fused, nb, pmax, slot)
             )
