@@ -238,8 +238,13 @@ PT_TARGET_LOAD = 12        # keys per bucket the sizing aims for
 # build first downgrades window 4 -> 3 (~4x fewer keys), then gives up
 # and the engine falls back to exact per-position membership probes —
 # correct, ~4x more scan gathers).  Overridable for experiments.
+# Default 1 GB: measured at 1M unitigs, a cap-filling window-4 table
+# (2 GB) buys only ~18% mapping throughput over NO probe table at all
+# (240k vs 203k reads/s — the junction-walk gathers dominate at that
+# scale), while costing 4x the build time and H2D of the window-3
+# layout this cap selects.
 PROBE_TABLE_MAX_BYTES = int(os.environ.get(
-    "DBGTPU_PROBE_TABLE_MAX_BYTES", 2 << 30
+    "DBGTPU_PROBE_TABLE_MAX_BYTES", 1 << 30
 ))
 
 _log = logging.getLogger("dbgtpu.index")

@@ -156,9 +156,24 @@ def main():
                 delattr(g, attr)
         return di
 
-    di = run_config("probe3_scan", "scan", 2 << 30)
-    run_config("noprobe_scan", "scan", 0)
-    run_config("mphf_probe3", "mphf", 2 << 30)
+    import dbgtpu.index.device as _dm
+
+    only = set(sys.argv[1:])
+
+    def want(name):
+        return not only or name in only
+
+    di = None
+    if want("probe3_scan"):
+        di = run_config("probe3_scan", "scan", _dm.PROBE_TABLE_MAX_BYTES)
+    if want("probe4_scan"):
+        run_config("probe4_scan", "scan", 4 << 30)
+    if want("noprobe_scan"):
+        run_config("noprobe_scan", "scan", 0)
+    if want("mphf_probe3"):
+        run_config("mphf_probe3", "mphf", _dm.PROBE_TABLE_MAX_BYTES)
+    if di is None:
+        di = build_device_index(g, layout="scan")
 
     # persisted-index load path (uses the probe3 scan DeviceIndex)
     from dbgtpu.index.persist import load_index, save_index
