@@ -58,8 +58,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--impl", choices=["python", "jax"], default="python",
                    help="alignment engine (jax once the device engine "
                         "lands; python = executable spec)")
-    p.add_argument("--batch-size", type=int, default=8192,
-                   help="reads per device batch")
+    p.add_argument("--batch-size", type=int, default=32768,
+                   help="reads per device batch (32768 measured best "
+                        "for the pipelined jax runner)")
     p.add_argument("--save-index", metavar="FILE",
                    help="persist the built index (npz) and continue")
     p.add_argument("--load-index", metavar="FILE",

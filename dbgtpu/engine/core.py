@@ -104,10 +104,11 @@ def _roll_left(x, sh, max_sh: int):
 class IndexArrays(NamedTuple):
     """Device-side view of DeviceIndex (all jnp arrays)."""
 
-    st_fused: jax.Array     # uint32 [nb, 80] 8 slot keys (hi x8 | lo x8)
-    #                         ++ 8 slots x 8 vals (junction lookup = ONE
-    #                         gather: key compare and value select from
-    #                         the same row; membership reads cols 0:16)
+    st_fused: jax.Array     # uint32 [nb, 10*S] S=ST_SLOTS slot keys
+    #                         (hi xS | lo xS) ++ S slots x 8 vals
+    #                         (junction lookup = ONE gather: key compare
+    #                         and value select from the same row;
+    #                         membership reads cols 0:2S)
     st_seed: jax.Array      # uint32 [] bucket-hash seed
     umeta: jax.Array        # int32  [U+1, 16] per-unitig metadata row
     pool_rows: jax.Array    # uint32 [2*nc, RW] fwd then rc chunk rows
@@ -188,7 +189,7 @@ def index_to_device(di) -> IndexArrays:
         )
     ix = IndexArrays(
         st_fused=(jnp.asarray(_fuse_scan_table(t)) if t is not None
-                  else jnp.zeros((0, 80), jnp.uint32)),
+                  else jnp.zeros((0, 320), jnp.uint32)),
         st_seed=jnp.uint32(t.seed if t is not None else 0),
         umeta=jnp.asarray(di.umeta),
         pool_rows=jnp.asarray(di.pool_rows),
@@ -197,7 +198,7 @@ def index_to_device(di) -> IndexArrays:
                  else jnp.zeros((0, 32), jnp.uint32)),
         pt_seed=jnp.uint32(pt.seed if pt is not None else 0),
         at_fused=(jnp.asarray(_fuse_scan_table(at)) if at is not None
-                  else jnp.zeros((0, 40), jnp.uint32)),
+                  else jnp.zeros((0, 160), jnp.uint32)),
         at_seed=jnp.uint32(at.seed if at is not None else 0),
         **mph,
     )
@@ -315,6 +316,8 @@ def _junction_vals(ix: IndexArrays, jl_meta, qhi, qlo, shard_axis=None):
     (each device holds nb/D rows; bucket ids here are GLOBAL, computed
     against the global bucket count)."""
     if jl_meta is None:
+        from ..index.device import ST_SLOTS as S_
+
         if shard_axis is not None:
             D = jax.lax.axis_size(shard_axis)
             nbm = jnp.uint32(ix.st_fused.shape[0] * D - 1)
@@ -325,12 +328,13 @@ def _junction_vals(ix: IndexArrays, jl_meta, qhi, qlo, shard_axis=None):
             frow = ix.st_fused[
                 (mix32(qhi ^ ix.st_seed, qlo) & nbm).astype(jnp.int32)
             ]
-        ok = (frow[..., 0:8] == qhi[..., None]) & (
-            frow[..., 8:16] == qlo[..., None]
+        ok = (frow[..., 0:S_] == qhi[..., None]) & (
+            frow[..., S_ : 2 * S_] == qlo[..., None]
         )
         vals8 = jnp.sum(
             jnp.where(ok[..., None],
-                      frow[..., 16:80].reshape(frow.shape[:-1] + (8, 8)),
+                      frow[..., 2 * S_ : 10 * S_].reshape(
+                          frow.shape[:-1] + (S_, 8)),
                       jnp.uint32(0)),
             axis=-2, dtype=jnp.uint32,
         ).astype(jnp.int32)
@@ -344,6 +348,8 @@ def _junction_vals(ix: IndexArrays, jl_meta, qhi, qlo, shard_axis=None):
 def _st_member(ix: IndexArrays, qhi, qlo, jl_meta=None, shard_axis=None):
     """Junction keyset membership (scan or MPHF layout)."""
     if jl_meta is None:
+        from ..index.device import ST_SLOTS as S_
+
         if shard_axis is not None:
             D = jax.lax.axis_size(shard_axis)
             mask = jnp.uint32(ix.st_fused.shape[0] * D - 1)
@@ -353,9 +359,9 @@ def _st_member(ix: IndexArrays, qhi, qlo, jl_meta=None, shard_axis=None):
             nb = ix.st_fused.shape[0]
             mask = jnp.uint32(nb - 1)
             b = (mix32(qhi ^ ix.st_seed, qlo) & mask).astype(jnp.int32)
-            row = ix.st_fused[b]             # [..., 80]
-        ok = (row[..., 0:8] == qhi[..., None]) & (
-            row[..., 8:16] == qlo[..., None]
+            row = ix.st_fused[b]             # [..., 10*S_]
+        ok = (row[..., 0:S_] == qhi[..., None]) & (
+            row[..., S_ : 2 * S_] == qlo[..., None]
         )
         return jnp.any(ok, axis=-1)
     found, _ = _junction_vals(ix, jl_meta, qhi, qlo)

@@ -58,18 +58,22 @@ from .kmer32 import mix32, pair_le, rcb_pair
 
 def _anchor_lookup(ix: IndexArrays, chi, clo):
     """Canonical k-mer -> (member, uid, upos, ucanon), one fused row
-    gather per query (keys cols 0:16, 8 slots x 3 vals cols 16:40)."""
+    gather per query (S=ST_SLOTS slot keys cols 0:2S, S slots x 3 vals
+    cols 2S:5S)."""
+    from ..index.device import ST_SLOTS as S_
+
     nba = ix.at_fused.shape[0]
     b = (mix32(chi ^ ix.at_seed, clo) & jnp.uint32(nba - 1)).astype(
         jnp.int32
     )
-    row = ix.at_fused[b]                                 # [..., 40]
-    ok = (row[..., 0:8] == chi[..., None]) & (
-        row[..., 8:16] == clo[..., None]
+    row = ix.at_fused[b]                                 # [..., 5*S_]
+    ok = (row[..., 0:S_] == chi[..., None]) & (
+        row[..., S_ : 2 * S_] == clo[..., None]
     )
     vals = jnp.sum(
         jnp.where(ok[..., None],
-                  row[..., 16:40].reshape(row.shape[:-1] + (8, 3)),
+                  row[..., 2 * S_ : 5 * S_].reshape(
+                      row.shape[:-1] + (S_, 3)),
                   jnp.uint32(0)),
         axis=-2, dtype=jnp.uint32,
     ).astype(jnp.int32)                                  # [..., 3]

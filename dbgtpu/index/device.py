@@ -113,29 +113,37 @@ def ht_find_host(tbl: HashTable, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     return res
 
 
+ST_SLOTS = 32              # scan-table slots per bucket row
+ST_TARGET_LOAD = 12        # keys per bucket the sizing aims for
+
+
 @dataclass
 class ScanTable:
-    """Single-hash 8-slot bucketed table (TPU fast path).
+    """Single-hash fat-bucket table (TPU fast path).
 
     A TPU gather of ROWS ([B] indices into an [N, W] table) runs ~100x
-    faster per element than element/point gathers, so the fast path
-    wants membership AND lookup to each be ONE row gather.  Each bucket
-    row packs its 8 slot keys as 16 uint32 lanes (cols 0-7 = key-hi,
-    cols 8-15 = key-lo); vals sit in a parallel [nb*8, V] row table.
-    The build searches seeds until no bucket holds > 8 keys (load
-    factor <= 1 makes overflow vanishingly rare; the size is doubled if
-    no seed works).  Exactness is preserved: full 62-bit keys are
-    compared on lookup, the same aliasing defense the reference uses
-    after MPHF lookup (aligner.cpp:158-169)."""
+    faster per element than element/point gathers — and is rate-bound
+    by row COUNT, not row width — so the fast path wants membership
+    AND lookup to each be ONE row gather into as few, as dense rows as
+    possible.  Each bucket row packs ST_SLOTS=32 slot keys as 64
+    uint32 lanes (cols 0:32 key-hi, 32:64 key-lo), sized for
+    ~ST_TARGET_LOAD keys/bucket (~2.7x denser than the former 8-slot
+    near-empty layout — the junction table of a 1M-unitig graph drops
+    from 640 MB to ~250 MB, which matters because walk-loop gather
+    rates degrade with table footprint); vals sit in a parallel
+    [nb*ST_SLOTS, V] row table.  The build grows nb until no bucket
+    overflows.  Exactness is preserved: full 62-bit keys are compared
+    on lookup, the same aliasing defense the reference uses after MPHF
+    lookup (aligner.cpp:158-169)."""
 
-    keys: np.ndarray      # uint32 [nb, 16]
-    vals: np.ndarray      # int32  [nb*8, V]
+    keys: np.ndarray      # uint32 [nb, 2*ST_SLOTS]
+    vals: np.ndarray      # int32  [nb*ST_SLOTS, V]
     n_buckets: int
     seed: int             # uint32 hash seed
 
     @property
     def size(self) -> int:
-        return self.n_buckets * 8
+        return self.n_buckets * ST_SLOTS
 
 
 def _scan_hash(hi, lo, seed):
@@ -150,8 +158,9 @@ def build_scan_table(keys: np.ndarray, vals: np.ndarray) -> ScanTable:
     if vals.ndim == 1:
         vals = vals[:, None]
     n, V = len(keys), vals.shape[1]
+    S_ = ST_SLOTS
     hi, lo = split64(keys)
-    nb0 = 1 << max(2, int(np.ceil(np.log2(max(1, n)))))
+    nb0 = 1 << max(2, int(np.ceil(np.log2(max(1, n / ST_TARGET_LOAD)))))
     # seed/size search: hash once per seed, re-mask while growing nb
     # (bucket overflow is a load property, not a seed property); the
     # second seed guards against full-32-bit-hash collisions
@@ -162,9 +171,9 @@ def build_scan_table(keys: np.ndarray, vals: np.ndarray) -> ScanTable:
         for _growth in range(8):
             b = (h & np.uint32(nb - 1)).astype(np.int64)
             counts = np.bincount(b, minlength=nb)
-            if counts.max(initial=0) <= 8:
-                tkeys = np.full((nb, 16), _EMPTY_KEY, np.uint32)
-                tvals = np.zeros((nb * 8, V), np.int32)
+            if counts.max(initial=0) <= S_:
+                tkeys = np.full((nb, 2 * S_), _EMPTY_KEY, np.uint32)
+                tvals = np.zeros((nb * S_, V), np.int32)
                 if n:
                     order = np.argsort(b, kind="stable")
                     bs = b[order]
@@ -172,8 +181,8 @@ def build_scan_table(keys: np.ndarray, vals: np.ndarray) -> ScanTable:
                     np.cumsum(counts, out=start[1:])
                     slot = np.arange(n) - start[bs]
                     tkeys[bs, slot] = hi[order]
-                    tkeys[bs, 8 + slot] = lo[order]
-                    tvals[bs * 8 + slot] = vals[order]
+                    tkeys[bs, S_ + slot] = lo[order]
+                    tvals[bs * S_ + slot] = vals[order]
                 return ScanTable(tkeys, tvals, nb, int(seed))
             nb <<= 1
     raise RuntimeError("scan table build failed: unresolvable bucket overflow")
@@ -473,16 +482,19 @@ def pt_member_host(pt: ProbeTable, hi, lo) -> np.ndarray:
 
 
 def st_find_host(tbl: ScanTable, hi, lo) -> np.ndarray:
-    """Numpy mirror of the device lookup: flat slot (bucket*8 + s) per
-    query, or -1."""
+    """Numpy mirror of the device lookup: flat slot (bucket*ST_SLOTS +
+    s) per query, or -1."""
+    S_ = ST_SLOTS
     hi = np.asarray(hi, np.uint32)
     lo = np.asarray(lo, np.uint32)
     b = (_scan_hash(hi, lo, np.uint32(tbl.seed))
          & np.uint32(tbl.n_buckets - 1)).astype(np.int64)
-    row = tbl.keys[b]                                   # [..., 16]
-    ok = (row[..., 0:8] == hi[..., None]) & (row[..., 8:16] == lo[..., None])
+    row = tbl.keys[b]                                   # [..., 2*S_]
+    ok = (row[..., 0:S_] == hi[..., None]) & (
+        row[..., S_ : 2 * S_] == lo[..., None]
+    )
     s = ok.argmax(axis=-1)
-    return np.where(ok.any(axis=-1), b * 8 + s, -1)
+    return np.where(ok.any(axis=-1), b * S_ + s, -1)
 
 
 def pack_words(codes: np.ndarray) -> np.ndarray:

@@ -95,6 +95,21 @@ def load_index(path: str) -> UnitigGraph:
         jkeys=z["jkeys"], jvals=z["jvals"],
     )
     _load_anchors(g, z)
+    from .device import PT_SLOTS, ST_SLOTS
+
+    # slot-layout guard: a file written under an older bucket geometry
+    # must not feed mis-shaped rows to the device; drop the device
+    # tables and let the first use rebuild them from the (always valid)
+    # slot table — correct for every mode, just a slower first start
+    stale = (
+        ("st_keys" in z and z["st_keys"].shape[1] != 2 * ST_SLOTS)
+        or ("pt_rows" in z and z["pt_rows"].shape[1]
+            != (4 if int(z["pt_window"]) == 4 else 3) * PT_SLOTS)
+        or ("at_keys" in z and z["at_keys"].shape[1] != 2 * ST_SLOTS)
+    )
+    if stale:
+        return g
+
     st = None
     if "st_keys" in z:
         st = ScanTable(z["st_keys"], z["st_vals"],
