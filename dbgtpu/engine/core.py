@@ -49,7 +49,7 @@ from ..constants import (
     STATUS_NO_OVERLAP_FWD,
     STATUS_RC_NO_OVERLAP,
 )
-from .kmer32 import mix32, pair_le, rcb_pair
+from .kmer32 import mix32, pair_le, rcb_pair, rev_pair
 
 # phases
 _FETCH, _LEFT, _RFIRST, _RCONT, _DONE = 0, 1, 2, 3, 4
@@ -451,6 +451,43 @@ def _closure_member(ix: IndexArrays, rep_hi, rep_lo, le, codes32, k1: int,
     return jnp.stack(cols, axis=1)
 
 
+def _scan_kmer_pairs_words(words, L: int, n: int):
+    """n-mer (hi, lo) values at every position, from the PACKED 2-bit
+    word rows (base i at bits 2*(i%16) of word i//16; width >= T+2
+    words or zero-padded here).  Equals _scan_kmer_pairs(codes32, n,
+    False) on the valid positions.
+
+    The naive formulation (n shifted ORs over [B, Lk] slices) compiles
+    to ~n wide kernels and measured ~26 ms of a 37 ms mapping step;
+    here each of the 16 position-classes (p mod 16) needs only two
+    32-bit funnel extractions + one 2-bit-group reversal over [B, T]
+    arrays — the 64-bit little-endian window starting at bit 2p IS the
+    kmer, read in reverse (kmer32.rev_pair)."""
+    B, W = words.shape
+    Lk = L - n + 1
+    T = (Lk + 15) // 16
+    if W < T + 2:
+        words = jnp.pad(words, ((0, 0), (0, T + 2 - W)))
+    w0 = words[:, 0:T]
+    w1 = words[:, 1 : T + 1]
+    w2 = words[:, 2 : T + 2]
+    his, los = [], []
+    for c in range(16):
+        if c == 0:
+            le_lo, le_hi = w0, w1
+        else:
+            sh = jnp.uint32(2 * c)
+            bk = jnp.uint32(32 - 2 * c)
+            le_lo = (w0 >> sh) | (w1 << bk)
+            le_hi = (w1 >> sh) | (w2 << bk)
+        vhi, vlo = rev_pair(le_hi, le_lo, n)
+        his.append(vhi)
+        los.append(vlo)
+    hi = jnp.stack(his, axis=2).reshape(B, T * 16)[:, :Lk]
+    lo = jnp.stack(los, axis=2).reshape(B, T * 16)[:, :Lk]
+    return hi, lo
+
+
 def _scan_kmer_pairs(codes32, n: int, complement: bool):
     """All n-mer (hi, lo) pairs per position of a [B, L] uint32 code
     array.  complement=True builds the reverse-complement value
@@ -801,9 +838,10 @@ def align_batch(
     has_n = jnp.any(nmask)
     if shard_axis is not None:
         has_n = jax.lax.psum(has_n.astype(jnp.int32), shard_axis) > 0
-    std_hi, std_lo = _scan_kmer_pairs(codes32, k1, False)
-    # rc values via the O(log) bit swizzle of the forward scan instead
-    # of a second k1-step shift-OR scan (identical semantics)
+    # fwd kmers straight from the packed read rows (16 funnel classes,
+    # see _scan_kmer_pairs_words); rc values via the O(log) bit swizzle
+    # of the forward scan — identical semantics to the naive scans
+    std_hi, std_lo = _scan_kmer_pairs_words(rwf, L, k1)
     rcs_hi, rcs_lo = rcb_pair(std_hi, std_lo, k1)
 
     def _bug_scan():

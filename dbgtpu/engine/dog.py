@@ -51,7 +51,7 @@ from .core import (
     _C_UOFF, _C_ULEN,
     _DONE, _LEFT, _RFIRST,
     _first_k_hits, _last_k_hits_rc, _read_images, _run_walks,
-    _scan_kmer_pairs, _window_miss,
+    _scan_kmer_pairs_words, _window_miss,
 )
 from .kmer32 import mix32, pair_le, rcb_pair
 
@@ -176,7 +176,7 @@ def align_batch_anchors(
 
     # k-mer scan (N encodes 3 throughout; no rolling quirk, see module
     # docstring) + canonical anchor lookup at every position
-    fhi, flo = _scan_kmer_pairs(codes32, k, False)
+    fhi, flo = _scan_kmer_pairs_words(rwf, L, k)
     rhi, rlo = rcb_pair(fhi, flo, k)
     le_f = pair_le(fhi, flo, rhi, rlo)
     chi = jnp.where(le_f, fhi, rhi)

@@ -59,6 +59,7 @@ from .core import (
     _pick,
     _read_images,
     _scan_kmer_pairs,
+    _scan_kmer_pairs_words,
     _st_member,
     pack_paths,
 )
@@ -112,7 +113,7 @@ def align_batch_exhaustive(
     # model.scan_kmers) + interesting-position mask over TRUE canonical
     # keys (get_end's lookup canon, not the scan's register-min rep) ----
     has_n = jnp.any(nmask)
-    std_hi, std_lo = _scan_kmer_pairs(codes32, k1, False)
+    std_hi, std_lo = _scan_kmer_pairs_words(rwf, L, k1)
     rcs_hi, rcs_lo = rcb_pair(std_hi, std_lo, k1)
 
     def _bug_scan():

@@ -94,6 +94,25 @@ def rcb_pair(hi, lo, n: int):
     return rhi * 0, rhi >> (s - 32)
 
 
+def rev_pair(hi, lo, n: int):
+    """Pure 2-bit-group reversal of an n-mer pair (rcb_pair WITHOUT the
+    complement): turns a little-endian packed extraction (base p+j at
+    bits 2j) into the big-endian kmer value convention (first base most
+    significant).  n is static."""
+    rhi = rev2_32(lo)
+    rlo = rev2_32(hi)
+    s = 64 - 2 * n
+    if s == 0:
+        return rhi, rlo
+    if s < 32:
+        lo2 = (rlo >> s) | (rhi << (32 - s))
+        hi2 = rhi >> s
+        return hi2, lo2
+    if s == 32:
+        return rhi * 0, rhi
+    return rhi * 0, rhi >> (s - 32)
+
+
 def pair_eq(ahi, alo, bhi, blo):
     return (ahi == bhi) & (alo == blo)
 

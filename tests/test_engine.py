@@ -157,3 +157,24 @@ def test_engine_mphf_layout_matches_scan(tmp_path):
         )
         assert got[0] == want[0], mode
         assert got[1] == want[1], mode
+
+
+@pytest.mark.parametrize("L,n", [(112, 30), (64, 3), (100, 31),
+                                 (48, 32), (256, 20), (35, 14)])
+def test_packed_kmer_scan_equals_naive(L, n):
+    """The funnel-class packed scan (core._scan_kmer_pairs_words) must
+    equal the naive per-offset shift-OR scan bit for bit."""
+    import jax.numpy as jnp
+
+    from dbgtpu.engine.core import (
+        _pack_rows, _scan_kmer_pairs, _scan_kmer_pairs_words,
+    )
+
+    rng = np.random.default_rng(L * 37 + n)
+    codes = jnp.asarray(rng.integers(0, 4, (9, L), np.uint32))
+    Lw = (L + 15) // 16
+    rw = _pack_rows(codes, 2 * Lw + 1)
+    h1, l1 = _scan_kmer_pairs(codes, n, False)
+    h2, l2 = _scan_kmer_pairs_words(rw, L, n)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
