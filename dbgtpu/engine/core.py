@@ -368,6 +368,31 @@ def _st_member(ix: IndexArrays, qhi, qlo, jl_meta=None, shard_axis=None):
     return found
 
 
+def _st_member_positions(ix, qhi, qlo, jl_meta=None, shard_axis=None,
+                         chunk: int = 8):
+    """Per-position junction membership for [B, Lk]-shaped query scans.
+
+    A direct row gather materializes a [B, Lk, 10*ST_SLOTS] temp — with
+    the dense 320-col fused rows that is 8+ GB at B=64k and OOMs HBM —
+    so the position axis is processed in lax.map chunks (temp bounded
+    at [B, chunk, 320]).  Only the per-position fallback paths use
+    this (no probe table / has-N reads); point lookups in the walk stay
+    on the unchunked _st_member."""
+    if jl_meta is not None or shard_axis is not None:
+        # mphf layout: jrows are 10 cols (no blow-up); sharded layout:
+        # _sharded_rows already flattens and bounds its temps
+        return _st_member(ix, qhi, qlo, jl_meta, shard_axis)
+    B, Lk = qhi.shape
+    nch = (Lk + chunk - 1) // chunk
+    pad = nch * chunk - Lk
+    qh = jnp.pad(qhi, ((0, 0), (0, pad))).reshape(
+        B, nch, chunk).transpose(1, 0, 2)
+    ql = jnp.pad(qlo, ((0, 0), (0, pad))).reshape(
+        B, nch, chunk).transpose(1, 0, 2)
+    m = jax.lax.map(lambda c: _st_member(ix, c[0], c[1]), (qh, ql))
+    return m.transpose(1, 0, 2).reshape(B, nch * chunk)[:, :Lk]
+
+
 def _closure_member(ix: IndexArrays, rep_hi, rep_lo, le, codes32, k1: int,
                     shard_axis=None):
     """Anchor-scan membership for every position via W-position closure
@@ -882,11 +907,11 @@ def align_batch(
         (reference str2num vs nuc2int, see model.scan_kmers) where the
         scanned 'canonical' is not a true canonical and the closure
         probe's shift relation does not hold."""
-        m1 = _st_member(ix, rep1_hi, rep1_lo, jl_meta, shard_axis) & valid
+        m1 = _st_member_positions(ix, rep1_hi, rep1_lo, jl_meta, shard_axis) & valid
         le2 = pair_le(std_hi, std_lo, rcs_hi, rcs_lo)
         r_hi = jnp.where(le2, std_hi, rcs_hi)
         r_lo = jnp.where(le2, std_lo, rcs_lo)
-        m2 = _st_member(ix, r_hi, r_lo, jl_meta, shard_axis) & valid
+        m2 = _st_member_positions(ix, r_hi, r_lo, jl_meta, shard_axis) & valid
         return m1, m2
 
     if ix.pt_rows.shape[0] > 0:
@@ -899,13 +924,13 @@ def align_batch(
             has_n, _slow_members, _fast_members
         )
     else:
-        member1 = _st_member(ix, rep1_hi, rep1_lo, jl_meta, shard_axis) & valid
+        member1 = _st_member_positions(ix, rep1_hi, rep1_lo, jl_meta, shard_axis) & valid
 
         def _member2():
             le2 = pair_le(std_hi, std_lo, rcs_hi, rcs_lo)
             r_hi = jnp.where(le2, std_hi, rcs_hi)
             r_lo = jnp.where(le2, std_lo, rcs_lo)
-            return _st_member(ix, r_hi, r_lo, jl_meta, shard_axis) & valid
+            return _st_member_positions(ix, r_hi, r_lo, jl_meta, shard_axis) & valid
 
         member2 = jax.lax.cond(has_n, _member2, lambda: member1)
 

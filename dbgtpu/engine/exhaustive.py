@@ -60,7 +60,7 @@ from .core import (
     _read_images,
     _scan_kmer_pairs,
     _scan_kmer_pairs_words,
-    _st_member,
+    _st_member_positions,
     pack_paths,
 )
 from .kmer32 import pair_le, rcb_pair
@@ -127,7 +127,7 @@ def align_batch_exhaustive(
     def _slow_member():
         rbh, rbl = rcb_pair(bug_hi, bug_lo, k1)
         le = pair_le(bug_hi, bug_lo, rbh, rbl)
-        return _st_member(
+        return _st_member_positions(
             ix, jnp.where(le, bug_hi, rbh), jnp.where(le, bug_lo, rbl),
             jl_meta,
         )
