@@ -39,8 +39,11 @@ K = 31
 M = 2
 EFFORT = 2
 READ_LEN = 100
-BATCH = int(os.environ.get("DBGTPU_BENCH_BATCH", 65536))
-N_BATCHES = int(os.environ.get("DBGTPU_BENCH_NBATCHES", 2))
+# 32k batches: the 64k program sits against the HBM ceiling with the
+# fat-bucket tables (XLA compiles it with spill-heavy scheduling and
+# it runs ~7x slower); 4x32k also pipelines the e2e legs better
+BATCH = int(os.environ.get("DBGTPU_BENCH_BATCH", 32768))
+N_BATCHES = int(os.environ.get("DBGTPU_BENCH_NBATCHES", 4))
 TIMED_REPS = int(os.environ.get("DBGTPU_BENCH_REPS", 3))
 
 _CACHE = os.environ.get(
