@@ -257,17 +257,27 @@ def main() -> int:
             # host pack / H2D / compute / D2H legs better than two big
             # ones (the steady-state loop above stays at BATCH, where
             # per-dispatch overhead is what matters)
-            for label, graph in (("cold", None), ("warm", g), ("warm", g)):
+            warm_rates = []
+            for label, graph in (
+                ("cold", None),
+                ("warm", g), ("warm", g), ("warm", g),
+            ):
                 t0 = time.monotonic()
                 paths, na, st = run_pipeline(
                     [rf], uf, k=K, m=M, effort=EFFORT, impl="jax",
                     batch_size=32768, graph=graph,
                 )
                 dt = time.monotonic() - t0
-                e2e[label] = n_reads / dt
+                rate = n_reads / dt
+                if label == "warm":
+                    warm_rates.append(rate)
+                else:
+                    e2e[label] = rate
                 log(f"end-to-end ({label}): {dt:.1f}s for {n_reads} "
-                    f"reads -> {e2e[label]:,.0f} reads/s "
+                    f"reads -> {rate:,.0f} reads/s "
                     f"({len(paths)} path bytes, {st.aligned} aligned)")
+            # median of 3 warm runs: per-run tunnel bandwidth swings 2x
+            e2e["warm"] = sorted(warm_rates)[len(warm_rates) // 2]
 
             # persisted-index start: load a v2 npz (device-ready, no
             # rebuild) in a fresh graph object, then map — the

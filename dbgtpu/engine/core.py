@@ -467,13 +467,25 @@ def _closure_member(ix: IndexArrays, rep_hi, rep_lo, le, codes32, k1: int,
         hi_ = (w1 >> jnp.where(idx2 >= 32, idx2 - 32, jnp.uint32(0))
                ) & jnp.uint32(1)
         m_by_d[2] = jnp.where(idx2 < 32, lo_, hi_) != 0
-    # position i is answered by probe j = i//W at offset d = i - p_j;
-    # the end-clamped last probe only ever serves d <= 0 positions
-    cols = []
-    for i in range(Lk):
-        j = i // W
-        cols.append(m_by_d[i - pcols[j]][:, j])
-    return jnp.stack(cols, axis=1)
+    # position i is answered by probe j = i//W at offset d = i - p_j.
+    # For unclamped probes (p_j = W*j+1) the group's positions W*j ..
+    # W*j+W-1 are exactly offsets d = -1..W-2 in order, so the whole
+    # member matrix is ONE stack+reshape instead of Lk per-column
+    # slices; only the end-clamped last group (p_J-1 = Lk-1 < W*j+1)
+    # deviates and is patched column-wise (d <= 0 there).
+    bulk = jnp.stack(
+        [m_by_d[d] for d in range(-1, W - 1)], axis=2
+    ).reshape(B, J * W)[:, :Lk]
+    first_clamped = ((Lk - 2) // W + 1) * W   # first i in a clamped group
+    if first_clamped < Lk:
+        tail = [
+            m_by_d[i - pcols[i // W]][:, (i // W) : (i // W) + 1]
+            for i in range(max(first_clamped, 0), Lk)
+        ]
+        return jnp.concatenate(
+            [bulk[:, :max(first_clamped, 0)]] + tail, axis=1
+        )
+    return bulk
 
 
 def _scan_kmer_pairs_words(words, L: int, n: int):
