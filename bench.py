@@ -212,10 +212,13 @@ def main() -> int:
     for rep in range(TIMED_REPS):
         t0 = time.monotonic()
         outs = [step(w, b) for w, b in batches]
-        outs = [(np.asarray(a), np.asarray(c)) for a, c in outs]
+        # ONE result fetch per rep: every np.asarray pays a full tunnel
+        # round-trip (~25-50 ms/session-dependent), so fetching 2
+        # scalars per batch made the loop measure RTTs, not the device
+        flat = np.asarray(jnp.stack([s for ac in outs for s in ac]))
         dt = time.monotonic() - t0
         rps = n_reads / dt
-        aligned_total = int(sum(int(a) for a, _ in outs))
+        aligned_total = int(flat[0::2].sum())
         log(f"rep {rep}: {dt * 1e3:.0f} ms for {n_reads} reads "
             f"-> {rps:,.0f} reads/s ({aligned_total} aligned)")
         rates.append(rps)
