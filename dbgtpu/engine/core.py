@@ -861,8 +861,35 @@ def align_batch(
         max_iters = 2 * E * 2 * L + 64
 
     lens = lens.astype(jnp.int32)
+
+    if ablate == "null":
+        # per-call floor: same inputs/outputs, trivial compute
+        return {
+            "status": jnp.sum(codes.astype(jnp.int32), axis=1) * 0,
+            "orient": lens * 0, "offset": lens * 0,
+            "llen": lens * 0, "rlen": lens * 0,
+            "lbuf": jnp.zeros((B, 1), jnp.int32),
+            "rbuf": jnp.zeros((B, 1), jnp.int32),
+            "iters": jnp.zeros((), jnp.int32),
+            **({"paths": jnp.zeros((B, pmax), jnp.int32),
+                "plen": lens * 0} if pmax else {}),
+        }
+
     codes32, rc32, rwf, rwr, nmw = _read_images(codes, nmask, lens, RWr)
     col = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    if ablate == "images":
+        z = jnp.sum(rwf, axis=1) ^ jnp.sum(rwr, axis=1) ^ jnp.sum(
+            nmw, axis=1) ^ jnp.sum(rc32, axis=1)
+        return {
+            "status": z.astype(jnp.int32), "orient": lens * 0,
+            "offset": lens * 0, "llen": lens * 0, "rlen": lens * 0,
+            "lbuf": jnp.zeros((B, 1), jnp.int32),
+            "rbuf": jnp.zeros((B, 1), jnp.int32),
+            "iters": jnp.zeros((), jnp.int32),
+            **({"paths": jnp.zeros((B, pmax), jnp.int32),
+                "plen": lens * 0} if pmax else {}),
+        }
 
     # ---- anchor scan ----
     # std: N encodes 3 throughout; buggy: rolled-in N encodes 0

@@ -88,7 +88,7 @@ def main():
 
     inputs32 = make_inputs(32768)
 
-    for ab in ("kmers", "member", "scan", "all"):
+    for ab in ("null", "images", "kmers", "member", "scan", "all"):
         @functools.partial(jax.jit, static_argnames=())
         def fab(c, nm, lens, _ab=ab):
             r = align_batch.__wrapped__(
@@ -102,7 +102,7 @@ def main():
         timed(f"ablate_{ab}", fab, inputs32)
 
     # stage1_iters sweep
-    for s1 in (0, 4, 6, 8, 12):
+    for s1 in ([] if os.environ.get("DBGTPU_ABLATE_ONLY") else (0, 4, 6, 8, 12)):
         @functools.partial(jax.jit, static_argnames=())
         def fs(c, nm, lens, _s1=s1):
             r = align_batch.__wrapped__(
@@ -114,7 +114,7 @@ def main():
         timed(f"stage1_{s1}", fs, inputs32)
 
     # batch-size scaling
-    for B in (65536, 131072):
+    for B in ([] if os.environ.get('DBGTPU_ABLATE_ONLY') else (65536, 131072)):
         try:
             inp = make_inputs(B)
 
