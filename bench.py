@@ -182,6 +182,28 @@ def main() -> int:
     def step(words, nmbits):
         return step_jit(ix, words, nmbits, lens_d, L=L, pmax=PMAX)
 
+    @functools.partial(jax.jit, static_argnames=("L", "pmax"))
+    def step_all_jit(ix, words_s, nmbits_s, lens, *, L, pmax):
+        # whole workload in ONE dispatch: lax.map over the stacked
+        # batch axis with the same 32k-shaped body.  The measured axon
+        # per-call cost (~15 ms dispatch + ~26 ms result RTT) dwarfs
+        # the ~6 ms of kernel time per batch, so one call per rep shows
+        # the device's actual rate; a resident-data production server
+        # can batch dispatches the same way.
+        def body(wb):
+            w, b = wb
+            fused = align_batch_packed.__wrapped__(
+                ix, w, b, lens,
+                mode="greedy", k=K, m=M, effort=EFFORT, L=L, pmax=pmax,
+            )
+            status = fused[:, 0].astype(jnp.int32)
+            aligned = jnp.sum((status == 1) | (status == 2))
+            chk = jnp.sum(fused.astype(jnp.int32))
+            return aligned.astype(jnp.int32), chk.astype(jnp.int32)
+
+        a, c = jax.lax.map(body, (words_s, nmbits_s))
+        return jnp.sum(a), jnp.sum(c) ^ 0
+
     # ---- cold-start split (VERDICT r2 item 5): XLA trace/lower vs
     # backend compile (persistent-cache-served on later runs) vs first
     # execution.  The session warmup was already absorbed above, so
@@ -203,22 +225,29 @@ def main() -> int:
     # NOTE: on the axon platform block_until_ready can return before
     # the computation finishes; a host copy of an output is the only
     # reliable completion fence, so every timed rep ends with
-    # np.asarray of the per-batch scalars.
+    # np.asarray of the summary scalars.  step()/step_jit warm the
+    # per-batch program too (the e2e runner path uses those shapes).
     a, c = step(w0, b0)
     a, c = np.asarray(a), np.asarray(c)
+
+    words_s = jnp.stack([w for w, _ in batches])
+    nmbits_s = jnp.stack([b for _, b in batches])
+    jax.block_until_ready((words_s, nmbits_s))
+    # warm the fused whole-workload program
+    a0, c0 = step_all_jit(ix, words_s, nmbits_s, lens_d, L=L, pmax=PMAX)
+    np.asarray(a0)
 
     rates = []
     aligned_total = 0
     for rep in range(TIMED_REPS):
         t0 = time.monotonic()
-        outs = [step(w, b) for w, b in batches]
-        # ONE result fetch per rep: every np.asarray pays a full tunnel
-        # round-trip (~25-50 ms/session-dependent), so fetching 2
-        # scalars per batch made the loop measure RTTs, not the device
-        flat = np.asarray(jnp.stack([s for ac in outs for s in ac]))
+        a0, c0 = step_all_jit(
+            ix, words_s, nmbits_s, lens_d, L=L, pmax=PMAX,
+        )
+        flat = np.asarray(jnp.stack([a0, c0]))
         dt = time.monotonic() - t0
         rps = n_reads / dt
-        aligned_total = int(flat[0::2].sum())
+        aligned_total = int(flat[0])
         log(f"rep {rep}: {dt * 1e3:.0f} ms for {n_reads} reads "
             f"-> {rps:,.0f} reads/s ({aligned_total} aligned)")
         rates.append(rps)
