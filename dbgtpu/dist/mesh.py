@@ -30,7 +30,12 @@ from ..constants import (
     STATUS_NO_OVERLAP_FWD,
     STATUS_RC_NO_OVERLAP,
 )
-from ..engine.core import IndexArrays, align_batch, align_batch_packed
+from ..engine.core import (
+    IndexArrays,
+    align_batch,
+    align_batch_packed,
+    align_batches_packed,
+)
 
 READS_AXIS = "reads"
 
@@ -148,8 +153,8 @@ def sharded_packed_fn(
         ix_spec = IndexArrays(
             st_fused=P(READS_AXIS), st_seed=P(), umeta=P(),
             pool_rows=P(), n_chunks=P(), pt_rows=P(READS_AXIS),
-            pt_seed=P(), at_fused=P(), at_seed=P(), mph_words=P(),
-            mph_samples=P(), mph_jrows=P(), mph_f=P(),
+            pt_seed=P(), at_fused=P(), at_seed=P(), mph_rows=P(),
+            mph_jrows=P(), mph_f=P(),
         )
     else:
         ix_spec = P()
@@ -158,5 +163,55 @@ def sharded_packed_fn(
         mesh=mesh,
         in_specs=(ix_spec, P(READS_AXIS), P(READS_AXIS), P(READS_AXIS)),
         out_specs=(P(READS_AXIS), P()),
+        check_vma=False,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def sharded_packed_group_fn(
+    mesh: Mesh, *, mode: str, k: int, m: int, effort: int, L: int,
+    pmax: int, jl_meta=None, partial: bool = False,
+    shard_index: bool = False,
+):
+    """Grouped sharded production call (core.align_batches_packed under
+    shard_map): stacked [G, B, ·] batches, batch axis (dim 1) sharded
+    over the mesh, ONE dispatch per group — the multi-chip variant of
+    the runner's tunnel-round-trip amortization (VERDICT r3 item 1).
+    The lax.map trip count is static and identical on every device, so
+    the sharded-index collectives inside the body stay mesh-uniform."""
+
+    axis = READS_AXIS if shard_index else None
+
+    def shard_fn(ix, words_s, nmbits_s, lens_s):
+        fused_s = align_batches_packed(
+            ix, words_s, nmbits_s, lens_s, mode=mode, k=k, m=m,
+            effort=effort, L=L, pmax=pmax, jl_meta=jl_meta,
+            partial=partial, shard_axis=axis,
+        )
+        counts = jax.lax.psum(
+            status_counts(fused_s[:, :, 0].astype(jnp.int32).ravel()),
+            READS_AXIS,
+        )
+        return fused_s, counts
+
+    if shard_index:
+        ix_spec = IndexArrays(
+            st_fused=P(READS_AXIS), st_seed=P(), umeta=P(),
+            pool_rows=P(), n_chunks=P(), pt_rows=P(READS_AXIS),
+            pt_seed=P(), at_fused=P(), at_seed=P(), mph_rows=P(),
+            mph_jrows=P(), mph_f=P(),
+        )
+    else:
+        ix_spec = P()
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            ix_spec,
+            P(None, READS_AXIS),
+            P(None, READS_AXIS),
+            P(None, READS_AXIS),
+        ),
+        out_specs=(P(None, READS_AXIS), P()),
         check_vma=False,
     )

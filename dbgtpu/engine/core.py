@@ -126,8 +126,12 @@ class IndexArrays(NamedTuple):
     # ---- compact MPHF junction layout (--index-layout mphf); empty
     # placeholders under the default scan layout.  The static level
     # structure travels separately as the hashable `jl_meta` arg.
-    mph_words: jax.Array    # uint32 [] level bitvectors, concatenated
-    mph_samples: jax.Array  # int32  [] 128-bit rank samples
+    mph_rows: jax.Array     # uint32 [ng, 5] fused 128-bit rank groups:
+    #                         col 0 = rank_base + sample, cols 1:5 the
+    #                         4 level-bitvector words of the group (one
+    #                         row gather answers bit-test AND rank —
+    #                         the former words/samples element gathers
+    #                         ran near-scalar on TPU, ~5/level/query)
     mph_jrows: jax.Array    # uint32 [n, 10] (khi, klo, 8 ID slots)
     mph_f: jax.Array        # uint32 [nbf, 12] final-level exact table
     #                         (khi x4 | klo x4 | slot-val x4)
@@ -174,16 +178,35 @@ def index_to_device(di) -> IndexArrays:
             )
         else:
             mph_f = np.zeros((0, 12), np.uint32)
+        # fuse each 128-bit rank group into ONE row: [rank_base+sample,
+        # w0..w3].  Row index for level lvl = sample_off[lvl] + (w>>2)
+        # (rows and rank samples share the 4-word granularity, so the
+        # existing sample offsets ARE the row offsets).
+        rows_parts = []
+        for lvl in range(m.n_levels):
+            w = m.words[m.word_off[lvl] : m.word_off[lvl + 1]]
+            s = m.samples[m.sample_off[lvl] : m.sample_off[lvl + 1]]
+            ng = len(s)
+            wp = np.zeros(ng * 4, np.uint32)
+            wp[: len(w)] = w
+            r = np.zeros((ng, 5), np.uint32)
+            r[:, 0] = (
+                s.astype(np.int64) + int(m.rank_base[lvl])
+            ).astype(np.uint32)
+            r[:, 1:5] = wp.reshape(ng, 4)
+            rows_parts.append(r)
+        mph_rows = (
+            np.concatenate(rows_parts) if rows_parts
+            else np.zeros((0, 5), np.uint32)
+        )
         mph = dict(
-            mph_words=jnp.asarray(m.words),
-            mph_samples=jnp.asarray(m.samples),
+            mph_rows=jnp.asarray(mph_rows),
             mph_jrows=jnp.asarray(mj.jrows),
             mph_f=jnp.asarray(mph_f),
         )
     else:
         mph = dict(
-            mph_words=jnp.zeros((0,), jnp.uint32),
-            mph_samples=jnp.zeros((0,), jnp.int32),
+            mph_rows=jnp.zeros((0, 5), jnp.uint32),
             mph_jrows=jnp.zeros((0, 10), jnp.uint32),
             mph_f=jnp.zeros((0, 12), jnp.uint32),
         )
@@ -229,35 +252,40 @@ def jl_meta_of(di):
 
 def _mphf_slot(ix: IndexArrays, jl_meta, qhi, qlo):
     """Device MPHF lookup against IndexArrays fields (any query shape):
-    n_levels bit-test gathers + one sampled rank + the exact final
-    table.  Returns int32 slots, -1 = not found (semantics of
-    index.mphf.device_lookup; reimplemented here over the fused final
-    rows so the walk loop stays row-gather-only)."""
+    ONE fused-row gather per level (ix.mph_rows packs rank_base+sample
+    and the 4 words of each 128-bit group) + the exact final table —
+    bit-test, rank popcounts and the sample all come out of the same
+    row, where the former words/samples formulation paid ~5 near-scalar
+    element gathers per level per query (the measured 0.6x throughput
+    of the mphf layout, VERDICT r3 item 6).  Returns int32 slots, -1 =
+    not found (semantics of index.mphf.device_lookup)."""
     from ..index.mphf import _RANK_STRIDE, _level_hash
     from .kmer32 import mix32b
 
     (n_levels, masks, woffs, soffs, rbases, has_final, final_nb) = jl_meta
-    words, samples = ix.mph_words, ix.mph_samples
+    rows = ix.mph_rows
     res = jnp.full(qhi.shape, -1, jnp.int32)
     for lvl in range(n_levels):
         pos = (_level_hash(qhi, qlo, lvl)
                & jnp.uint32(masks[lvl])).astype(jnp.int32)
         w = pos >> 5
-        word = words[woffs[lvl] + w]
+        row = rows[soffs[lvl] + (w >> 2)]        # [..., 5]
+        wsel = w & 3
+        word = row[..., 1]
+        for j in range(1, _RANK_STRIDE):
+            word = jnp.where(wsel == j, row[..., 1 + j], word)
         bit = (word >> (pos & 31).astype(jnp.uint32)) & jnp.uint32(1)
-        rank = jnp.int32(rbases[lvl]) + samples[soffs[lvl] + (w >> 2)]
-        w0 = (w >> 2) << 2
         below = (jnp.uint32(1)
                  << (pos & 31).astype(jnp.uint32)) - jnp.uint32(1)
+        rank = row[..., 0].astype(jnp.int32)
         for j in range(_RANK_STRIDE):
-            wj = w0 + j
-            wordj = words[woffs[lvl] + jnp.minimum(wj, w)]
+            wordj = row[..., 1 + j]
             pc_full = jax.lax.population_count(wordj).astype(jnp.int32)
             pc_part = jax.lax.population_count(
                 wordj & below
             ).astype(jnp.int32)
             rank = rank + jnp.where(
-                wj < w, pc_full, jnp.where(wj == w, pc_part, 0)
+                wsel > j, pc_full, jnp.where(wsel == j, pc_part, 0)
             )
         res = jnp.where(
             (res < 0) & (bit == jnp.uint32(1)), rank, res
@@ -375,12 +403,17 @@ def _st_member_positions(ix, qhi, qlo, jl_meta=None, shard_axis=None,
     A direct row gather materializes a [B, Lk, 10*ST_SLOTS] temp — with
     the dense 320-col fused rows that is 8+ GB at B=64k and OOMs HBM —
     so the position axis is processed in lax.map chunks (temp bounded
-    at [B, chunk, 320]).  Only the per-position fallback paths use
-    this (no probe table / has-N reads); point lookups in the walk stay
-    on the unchunked _st_member."""
-    if jl_meta is not None or shard_axis is not None:
-        # mphf layout: jrows are 10 cols (no blow-up); sharded layout:
-        # _sharded_rows already flattens and bounds its temps
+    at [B, chunk, 320]).  The bucket-range-sharded layout needs the
+    same chunking: _sharded_rows all_gathers the ids AND gathers a
+    [B*D, ·, 320] row temp, so an unchunked [B, Lk] query is the same
+    blow-up times the mesh size.  Chunking is mesh-safe there — the
+    chunk count is static and identical on every device, so each
+    lax.map step issues the same collectives on all shards.  Only the
+    per-position fallback paths use this (no probe table / has-N
+    reads); point lookups in the walk stay on the unchunked
+    _st_member."""
+    if jl_meta is not None:
+        # mphf layout: level words + 10-col jrows (no row blow-up)
         return _st_member(ix, qhi, qlo, jl_meta, shard_axis)
     B, Lk = qhi.shape
     nch = (Lk + chunk - 1) // chunk
@@ -389,7 +422,9 @@ def _st_member_positions(ix, qhi, qlo, jl_meta=None, shard_axis=None,
         B, nch, chunk).transpose(1, 0, 2)
     ql = jnp.pad(qlo, ((0, 0), (0, pad))).reshape(
         B, nch, chunk).transpose(1, 0, 2)
-    m = jax.lax.map(lambda c: _st_member(ix, c[0], c[1]), (qh, ql))
+    m = jax.lax.map(
+        lambda c: _st_member(ix, c[0], c[1], None, shard_axis), (qh, ql)
+    )
     return m.transpose(1, 0, 2).reshape(B, nch * chunk)[:, :Lk]
 
 
@@ -1426,3 +1461,52 @@ def align_batch_packed(
     if out_dtype == "auto" and U <= 32767 and 2 * L + 1 <= 32767:
         out = out.astype(jnp.int16)
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mode", "k", "m", "effort", "L", "pmax", "stage1_iters",
+        "jl_meta", "partial", "out_dtype", "shard_axis",
+    ),
+)
+def align_batches_packed(
+    ix: IndexArrays,
+    words_s,    # uint32 [G, B, ceil(L/16)] stacked packed batches
+    nmbits_s,   # uint32 [G, B, ceil(L/32)]
+    lens_s,     # int32  [G, B]
+    *,
+    mode: str = "greedy",
+    k: int,
+    m: int,
+    effort: int = 2,
+    L: int,
+    pmax: int,
+    stage1_iters: int = 6,
+    jl_meta=None,
+    partial: bool = False,
+    out_dtype: str = "auto",
+    shard_axis=None,
+):
+    """Grouped production entry: G stacked batches -> [G, B, 2 + pmax]
+    in ONE device dispatch (lax.map over the group axis with the same
+    per-batch body as align_batch_packed).
+
+    Motivation (VERDICT r3 item 1): the per-batch runner paid one
+    dispatch + one result fetch per 32k batch on a measurement tunnel
+    that costs ~26 ms per round-trip, so the production pipeline ran at
+    ~1/3 of the device's own rate.  Grouping G batches per dispatch
+    cuts the tunnel round-trips per read by G while keeping the
+    per-batch program (and its compiled executable) identical — the
+    same structure the reference amortizes with its 10k-read batch
+    pulls under one mutex acquisition (alignerGreedy.cpp:373-377)."""
+
+    def body(args):
+        w, nb, ln = args
+        return align_batch_packed.__wrapped__(
+            ix, w, nb, ln, mode=mode, k=k, m=m, effort=effort, L=L,
+            pmax=pmax, stage1_iters=stage1_iters, jl_meta=jl_meta,
+            partial=partial, out_dtype=out_dtype, shard_axis=shard_axis,
+        )
+
+    return jax.lax.map(body, (words_s, nmbits_s, lens_s))

@@ -2,21 +2,23 @@
 
 Collects parsed reads into fixed-shape batches (static B, length-
 bucketed L so jit compiles once per bucket), ships them through the
-transfer-minimal packed engine entry (core.align_batch_packed), and
-unpacks per-read paths in input order.
+transfer-minimal packed engine entry in dispatch GROUPS of G batches
+(core.align_batches_packed: one lax.map dispatch and one stacked
+result fetch per group), and unpacks per-read paths in input order.
 
 Transfer discipline (the axon tunnel measures ~100 ms latency per
-transfer at 18-40 MB/s, so e2e throughput is transfer-bound, not
-compute-bound): reads go up as 2-bit words + packed N-bits (2.25
-bits/base), results come back as ONE fused [B, 2+pmax] int16 array per
-batch with a capped pmax (true path lengths reported; the rare
-overflow rows are recomputed on host via the spec), and result D2H is
-started asynchronously at dispatch time so it overlaps later batches'
-host work and device compute.
+transfer at 18-40 MB/s plus ~26 ms per dispatch/fetch round-trip, so
+e2e throughput is transfer-bound, not compute-bound): reads go up as
+2-bit words + packed N-bits (2.25 bits/base), results come back as ONE
+fused [G, B, 2+pmax] int16 array per GROUP with a capped pmax (true
+path lengths reported; the rare overflow rows are recomputed on host
+via the spec), and result D2H is started asynchronously at dispatch
+time so it overlaps later groups' host work and device compute.
 """
 
 from __future__ import annotations
 
+import logging
 import os
 
 import numpy as np
@@ -25,9 +27,11 @@ from ..constants import STATUS_ALIGNED_FWD, STATUS_ALIGNED_RC
 from ..index.build import UnitigGraph
 from ..index.device import DeviceIndex, build_device_index
 from ..seq import encode, n_mask
-from .core import align_batch_packed, index_to_device, jl_meta_of
+from .core import align_batches_packed, index_to_device, jl_meta_of
 
 _ALIGNED = (STATUS_ALIGNED_FWD, STATUS_ALIGNED_RC)
+
+_log = logging.getLogger("dbgtpu.runner")
 
 # capped device-side path-slot bound (offset + signed ids).  The
 # worst-case bound (_pmax_for) can reach ~2*L when the graph holds one
@@ -35,6 +39,15 @@ _ALIGNED = (STATUS_ALIGNED_FWD, STATUS_ALIGNED_RC)
 # paths are ~2-10 slots.  Rows whose true plen exceeds the cap are
 # recomputed on host (exact, rare).
 PMAX_CAP = int(os.environ.get("DBGTPU_PMAX_CAP", 30))
+
+# batches fused into one device dispatch (tunnel round-trips per read
+# drop by this factor; the group is one lax.map program)
+DISPATCH_GROUP = 4
+
+# a device/transfer fault is recovered exactly (host spec recompute),
+# but a PERSISTENT fault would otherwise degrade into a silent ~50x
+# slowdown; fail fast once this many consecutive batches recovered
+MAX_CONSEC_RECOVERIES = 16
 
 
 def get_device_index(
@@ -73,12 +86,22 @@ def pack_batch(seqs: list[bytes], B: int, L: int):
 
 
 def _pmax_for(di: DeviceIndex, L: int) -> int:
-    """Static packed-path bound: offset + per-direction walk count.
-    Each junction consumes at least (min unitig len - (k-1)) read bases;
-    overflow rows (plen > pmax) are recomputed on host (rare)."""
+    """Static packed-path bound: offset slot + signed-id slots.
+
+    Tight: the LEFT and RIGHT walks partition the read between them
+    (left covers [0, anchor], right covers [anchor, L-k+1] in position
+    space), and every non-final junction push advances the walk
+    position by (unitig_len - (k-1)) >= stride read bases, so the id
+    count is bounded by ceil((L-k+1)/stride) + one final push per
+    direction + one dog-mode preloaded id.  (The former bound summed
+    BOTH directions at full read length — 2x too wide — which doubled
+    the padded result D2H of every batch.)  Overflow rows (plen > pmax)
+    are recomputed on host (exact; cannot happen within this bound).
+    """
     ul = di.ulen[1:]
     stride = max(1, int(ul.min(initial=1)) - (di.k - 1))
-    return int(1 + 2 * ((L + stride - 1) // stride) + 4)
+    span = L - (di.k - 1)
+    return int(1 + (span + stride - 1) // stride + 4)
 
 
 def pack_words_batch(codes: np.ndarray, nmask: np.ndarray):
@@ -115,6 +138,7 @@ def align_bulk(
     index_layout: str = "scan",  # "mphf" = compact junction layout
     shard_index: bool = False,   # shard the big index tables over the
     #                              mesh (1/D HBM per device; greedy only)
+    progress=None,               # callable(done, total, aligned) or None
 ):
     """Bulk array alignment, input order preserved.
 
@@ -126,6 +150,11 @@ def align_bulk(
     (index replicated, packed paths computed per shard on device, stats
     psum-reduced) — the multi-chip path; output bytes are identical to
     the single-device run.
+
+    `progress` is called from the drain thread after each completed
+    batch with (reads_done, reads_total, reads_aligned_so_far) — the
+    periodic in-run stats surface (reference prints a stats block every
+    10 read-batches, alignerExhaustive.cpp:306-316).
     """
     if mode == "greedy":
         from ..model import align_read_greedy
@@ -148,15 +177,19 @@ def align_bulk(
     jlm = jl_meta_of(di)
     ix = index_to_device(di)
     k = graph.k
+    group_n = max(1, int(os.environ.get(
+        "DBGTPU_DISPATCH_GROUP", DISPATCH_GROUP
+    )))
 
-    def batch_fn(ix, words, nmbits, blens, *, L, pmax):
-        return align_batch_packed(
-            ix, words, nmbits, blens, mode=mode, k=k, m=m,
-            effort=effort, L=L, pmax=pmax, jl_meta=jlm, partial=partial,
-        )
-
-    if mesh is not None:
-        from ..dist.mesh import sharded_packed_fn
+    if mesh is None:
+        def group_fn(ix, words_s, nmbits_s, blens_s, *, L, pmax):
+            return align_batches_packed(
+                ix, words_s, nmbits_s, blens_s, mode=mode, k=k, m=m,
+                effort=effort, L=L, pmax=pmax, jl_meta=jlm,
+                partial=partial,
+            )
+    else:
+        from ..dist.mesh import sharded_packed_group_fn
 
         nmesh = mesh.devices.size
         if batch_size % nmesh:
@@ -171,21 +204,34 @@ def align_bulk(
                     "--shard-index requires greedy mode and index "
                     "tables with at least one bucket row per device"
                 )
+            if nb_st % nmesh or nb_pt % nmesh:
+                # bucket counts are powers of two; _sharded_rows'
+                # global bucket arithmetic assumes exactly equal
+                # shards, and shard_map would otherwise fail with an
+                # opaque uneven-sharding error mid-run
+                raise ValueError(
+                    "--shard-index requires the bucket counts to "
+                    f"divide the mesh evenly (junction {nb_st} rows, "
+                    f"probe {nb_pt} rows, mesh {nmesh}); bucket counts "
+                    "are powers of two, so use a power-of-two mesh size"
+                )
 
-        def batch_fn(ix, words, nmbits, blens, *, L, pmax):
-            fn = sharded_packed_fn(
+        def group_fn(ix, words_s, nmbits_s, blens_s, *, L, pmax):
+            fn = sharded_packed_group_fn(
                 mesh, mode=mode, k=k, m=m, effort=effort, L=L,
                 pmax=pmax, jl_meta=jlm, partial=partial,
                 shard_index=shard_index,
             )
-            fused, _counts = fn(ix, words, nmbits, blens)
-            return fused
+            fused_s, _counts = fn(ix, words_s, nmbits_s, blens_s)
+            return fused_s
 
     N = parsed.n
     lens_all = np.diff(parsed.seq_off).astype(np.int32)
     status_all = np.zeros(N, np.int32)
     counts_all = np.zeros(N, np.int64)
     flat_parts: list = []     # per-batch flat path rows, filled by slot
+    prog = {"done": 0, "aligned": 0}
+    consec = {"n": 0}         # consecutive batch-level recoveries
 
     def spec_batch(s0, nb):
         """Host-spec recovery for one batch (SURVEY §5 failure
@@ -209,17 +255,41 @@ def align_bulk(
         )
         return status, counts, flat
 
-    def drain_one(s0, fused, nb, pmax, slot):
-        try:
-            out = np.asarray(fused)
-        except Exception:
-            # device result lost (e.g. dropped tunnel session):
-            # batch-level restart on host — exact, just slow
+    def recover_batches(metas, stage, exc):
+        """Batch-level restart on host for every batch of a failed
+        group — exact, just slow.  Loud (ADVICE r3): a silent recovery
+        of a persistent device fault is an order-of-magnitude slowdown
+        that looks like success; log each one and fail fast after
+        MAX_CONSEC_RECOVERIES consecutive recoveries."""
+        _log.warning(
+            "device %s failed for %d batch(es), recovering on host "
+            "spec: %s: %s", stage, len(metas), type(exc).__name__, exc,
+        )
+        for s0, nb, slot in metas:
+            consec["n"] += 1
+            if consec["n"] > MAX_CONSEC_RECOVERIES:
+                raise RuntimeError(
+                    f"{consec['n']} consecutive batch-level recoveries "
+                    "— the device path is persistently failing "
+                    f"(last error: {type(exc).__name__}: {exc})"
+                ) from exc
             status, counts, flat = spec_batch(s0, nb)
             status_all[s0 : s0 + nb] = status
             counts_all[s0 : s0 + nb] = counts
             flat_parts[slot] = flat
-            return
+            _note_progress(s0, nb)
+
+    def _note_progress(s0, nb):
+        prog["done"] += nb
+        prog["aligned"] += int(
+            np.isin(status_all[s0 : s0 + nb], _ALIGNED).sum()
+        )
+        if progress is not None:
+            progress(prog["done"], N, prog["aligned"])
+
+    def drain_rows(out, s0, nb, pmax, slot):
+        """Unpack one batch's [B, 2+pmax] host rows into the result
+        arrays (runs on the drain thread; disjoint row ranges)."""
         status = out[:nb, 0].astype(np.int32)
         plen = out[:nb, 1].astype(np.int32)
         paths = out[:nb, 2:].astype(np.int32)
@@ -250,10 +320,22 @@ def align_bulk(
         cols = np.arange(paths.shape[1])[None, :]
         mask = aligned[:, None] & (cols < counts[:, None])
         flat_parts[slot] = paths[mask]
+        _note_progress(s0, nb)
+
+    def drain_group(metas, fused_s, pmax):
+        try:
+            out_s = np.asarray(fused_s)
+        except Exception as e:
+            # device result lost (e.g. dropped tunnel session)
+            recover_batches(metas, "result fetch", e)
+            return
+        consec["n"] = 0
+        for g, (s0, nb, slot) in enumerate(metas):
+            drain_rows(out_s[g], s0, nb, pmax, slot)
 
     # Drain on a single worker thread: np.asarray's device wait
-    # releases the GIL, so result D2H + host unpack of batch i overlap
-    # the main thread's pack/dispatch of batches i+1.. — the host-side
+    # releases the GIL, so result D2H + host unpack of group i overlap
+    # the main thread's pack/dispatch of groups i+1.. — the host-side
     # pipeline the reference gets from its reader/worker threads
     # (aligner.cpp:550-597), here with exactly one consumer so the
     # result arrays need no locking (disjoint row ranges per batch).
@@ -263,12 +345,56 @@ def align_bulk(
 
     use_native_pack = native.available()
     futures = []
+    pend: list = []           # packed batches awaiting group dispatch
+    pend_key = None           # (L, pmax) shared by the pending batches
+
+    def flush_group(pool):
+        nonlocal pend
+        if not pend:
+            return
+        L, pmax = pend_key
+        metas = [(p["s0"], p["nb"], p["slot"]) for p in pend]
+        words_s = np.stack([p["words"] for p in pend])
+        nmbits_s = np.stack([p["nmbits"] for p in pend])
+        blens_s = np.stack([p["blens"] for p in pend])
+        pend = []
+        try:
+            if mesh is None:
+                # explicit async H2D: the uploads start now and overlap
+                # later packing; the dispatch below then references
+                # in-flight buffers instead of paying a synchronous
+                # transfer inside the call (mesh groups go through
+                # shard_map's own per-device placement instead)
+                import jax as _jax
+
+                words_s = _jax.device_put(words_s)
+                nmbits_s = _jax.device_put(nmbits_s)
+                blens_s = _jax.device_put(blens_s)
+            fused_s = group_fn(
+                ix, words_s, nmbits_s, blens_s, L=L, pmax=pmax
+            )
+        except Exception as e:
+            # dispatch failed: batch-level restart on host
+            futures.append(pool.submit(recover_batches, metas,
+                                       "dispatch", e))
+            return
+        try:
+            fused_s.copy_to_host_async()  # start D2H behind later work
+        except AttributeError:
+            pass                          # no async copy: still fine
+        futures.append(pool.submit(drain_group, metas, fused_s, pmax))
+
     with ThreadPoolExecutor(max_workers=1) as pool:
         for slot, s0 in enumerate(range(0, N, batch_size)):
             nb = min(batch_size, N - s0)
             lens = lens_all[s0 : s0 + nb]
             L = _bucket_len(int(lens.max(initial=k + 1)), k)
             pmax = min(_pmax_for(di, L), PMAX_CAP)
+            if pend_key is not None and (
+                (L, pmax) != pend_key or len(pend) >= group_n
+            ):
+                flush_group(pool)
+            pend_key = (L, pmax)
             if use_native_pack:
                 words, nmbits, blens = native.pack_batch_native(
                     parsed, s0, nb, batch_size, L
@@ -288,39 +414,15 @@ def align_bulk(
                 blens[:nb] = lens
                 words, nmbits = pack_words_batch(codes, nmask)
             flat_parts.append(None)
-            try:
-                if mesh is None:
-                    # explicit async H2D: the uploads start now and
-                    # overlap this loop's next-batch packing; the
-                    # dispatch below then references in-flight buffers
-                    # instead of paying a synchronous transfer inside
-                    # the call (mesh batches go through shard_map's own
-                    # per-device placement instead)
-                    import jax as _jax
-
-                    words = _jax.device_put(words)
-                    nmbits = _jax.device_put(nmbits)
-                    blens = _jax.device_put(blens)
-                fused = batch_fn(ix, words, nmbits, blens, L=L, pmax=pmax)
-            except Exception:
-                # dispatch failed: batch-level restart on host
-                def _recover(s0=s0, nb=nb, slot=slot):
-                    status, counts, flat = spec_batch(s0, nb)
-                    status_all[s0 : s0 + nb] = status
-                    counts_all[s0 : s0 + nb] = counts
-                    flat_parts[slot] = flat
-
-                futures.append(pool.submit(_recover))
-                continue
-            try:
-                fused.copy_to_host_async()  # start D2H behind later work
-            except AttributeError:
-                pass                        # no async copy: still fine
-            futures.append(
-                pool.submit(drain_one, s0, fused, nb, pmax, slot)
-            )
-            if len(futures) >= 4:     # bound in-flight device buffers
+            pend.append(dict(
+                s0=s0, nb=nb, slot=slot,
+                words=words, nmbits=nmbits, blens=blens,
+            ))
+            if len(pend) >= group_n:
+                flush_group(pool)
+            if len(futures) >= 3:     # bound in-flight device buffers
                 futures.pop(0).result()
+        flush_group(pool)
         for f in futures:
             f.result()
 
@@ -330,5 +432,3 @@ def align_bulk(
         np.concatenate(flat_parts) if flat_parts else np.zeros(0, np.int32)
     )
     return status_all, path_off, paths_flat
-
-

@@ -161,6 +161,16 @@ def build_scan_table(keys: np.ndarray, vals: np.ndarray) -> ScanTable:
     S_ = ST_SLOTS
     hi, lo = split64(keys)
     nb0 = 1 << max(2, int(np.ceil(np.log2(max(1, n / ST_TARGET_LOAD)))))
+    # growth bound: a byte cap, not an iteration count — a skewed
+    # keyset degrades into a sparser (bigger) table instead of aborting
+    # the build; only >S_ keys sharing BOTH full 32-bit bucket hashes
+    # under both seeds (astronomically unlikely for unique <=62-bit
+    # keys) can still fail
+    row_bytes = (2 * S_ + 4 * V) * 4
+    cap = max(
+        int(os.environ.get("DBGTPU_SCAN_TABLE_MAX_BYTES", 16 << 30)),
+        nb0 * row_bytes * 4,
+    )
     # seed/size search: hash once per seed, re-mask while growing nb
     # (bucket overflow is a load property, not a seed property); the
     # second seed guards against full-32-bit-hash collisions
@@ -168,7 +178,7 @@ def build_scan_table(keys: np.ndarray, vals: np.ndarray) -> ScanTable:
         seed = np.uint32((0x9E3779B1 * (attempt + 1)) & 0xFFFFFFFF)
         h = _scan_hash(hi, lo, seed) if n else np.zeros(0, np.uint32)
         nb = nb0
-        for _growth in range(8):
+        while nb * row_bytes <= cap:
             b = (h & np.uint32(nb - 1)).astype(np.int64)
             counts = np.bincount(b, minlength=nb)
             if counts.max(initial=0) <= S_:
@@ -185,7 +195,11 @@ def build_scan_table(keys: np.ndarray, vals: np.ndarray) -> ScanTable:
                     tvals[bs * S_ + slot] = vals[order]
                 return ScanTable(tkeys, tvals, nb, int(seed))
             nb <<= 1
-    raise RuntimeError("scan table build failed: unresolvable bucket overflow")
+    raise RuntimeError(
+        "scan table build failed: bucket overflow unresolvable within "
+        f"{cap >> 20} MB (DBGTPU_SCAN_TABLE_MAX_BYTES); the keyset has "
+        f">{ST_SLOTS} keys sharing both 32-bit bucket hashes"
+    )
 
 
 @dataclass
