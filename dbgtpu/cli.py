@@ -100,6 +100,18 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", metavar="DIR",
                    help="capture a jax.profiler trace of the mapping "
                         "phase into DIR (view with TensorBoard/XProf)")
+    p.add_argument("--progress", type=int, default=0, metavar="N",
+                   help="print an in-run stats line to stderr every N "
+                        "completed device batches (reads done, aligned "
+                        "count/%%, reads/s) — the reference's periodic "
+                        "stats block (alignerExhaustive.cpp:306-316)")
+    p.add_argument("--resume", action="store_true",
+                   help="journaled run: append output per segment and "
+                        "record (file, read offset) in "
+                        "<paths>.resume.json; rerunning the same "
+                        "command with --resume after a crash continues "
+                        "mid-file and produces byte-identical output "
+                        "(requires --impl jax)")
     return p
 
 
@@ -138,12 +150,57 @@ def main(argv: list[str] | None = None) -> int:
         args.k = graph.k
 
     reads_files = args.reads.split(",")
+    mode = (
+        ("paths-exhaustive" if args.exhaustive else "paths")
+        if args.paths_mode
+        else "exhaustive" if args.exhaustive
+        else "anchors" if args.dog_mode
+        else "greedy"
+    )
     profiling = False
     if args.profile_dir:
         import jax
 
         jax.profiler.start_trace(args.profile_dir)
         profiling = True
+
+    if args.resume:
+        if args.impl != "jax":
+            print("--resume requires --impl jax", file=sys.stderr)
+            return 2
+        if args.num_processes > 1:
+            print("--resume does not combine with multi-process runs "
+                  "(each process journals its own shard files instead)",
+                  file=sys.stderr)
+            return 2
+        from .pipeline import run_pipeline_resumable
+
+        t0 = time.monotonic()
+        stats = run_pipeline_resumable(
+            reads_files, args.unitigs, k=args.k,
+            paths_file=args.paths_file, na_file=args.not_aligned_file,
+            m=args.mismatches, effort=args.effort, fastq=args.fastq,
+            correction=args.correction, batch_size=args.batch_size,
+            graph=graph, mode=mode, partial=args.partial,
+            mesh_devices=args.mesh, index_layout=args.index_layout,
+            shard_index=args.shard_index, progress_every=args.progress,
+        )
+        if profiling:
+            import jax
+
+            jax.profiler.stop_trace()
+        print(f"Indexing in seconds : {int(stats.index_seconds)}")
+        for rf in reads_files:
+            print(rf)
+        sys.stdout.write(stats.summary())
+        if args.json_summary:
+            import json
+
+            with open(args.json_summary, "w") as f:
+                json.dump(stats.as_dict(), f, indent=2)
+                f.write("\n")
+        return 0
+
     t0 = time.monotonic()
     paths, na, stats = run_pipeline(
         reads_files,
@@ -155,13 +212,7 @@ def main(argv: list[str] | None = None) -> int:
         correction=args.correction,
         impl=args.impl,
         batch_size=args.batch_size,
-        mode=(
-            ("paths-exhaustive" if args.exhaustive else "paths")
-            if args.paths_mode
-            else "exhaustive" if args.exhaustive
-            else "anchors" if args.dog_mode
-            else "greedy"
-        ),
+        mode=mode,
         partial=args.partial,
         graph=graph,
         save_index=args.save_index,
@@ -170,6 +221,7 @@ def main(argv: list[str] | None = None) -> int:
         num_processes=args.num_processes,
         index_layout=args.index_layout,
         shard_index=args.shard_index,
+        progress_every=args.progress,
     )
     if profiling:
         import jax

@@ -97,47 +97,24 @@ def _format_paths_python(headers, hdr_off, status, path_off, flat):
     return b"".join(out)
 
 
-def _run_file_bulk(
-    graph, rf, m, effort, fastq, correction, batch_size,
-    stats, paths_out, na_out, mode="greedy", partial=False,
-    mesh=None, rec_range=None, index_layout="scan", shard_index=False,
-):
-    import os
-    import sys
-
-    from . import native
-    from .engine.runner import align_bulk, get_device_index
-
-    timing = os.environ.get("DBGTPU_TIMING")
-
-    def tick(label, t0):
-        if timing:
-            print(f"[timing] {label}: {time.monotonic() - t0:.2f}s",
-                  file=sys.stderr, flush=True)
-        return time.monotonic()
-
-    t = time.monotonic()
-    parsed = native.parse_reads(rf, graph.k, fastq)
-    if rec_range is not None:
-        s, e = rec_range(parsed.n)
-        parsed = parsed.slice_records(s, e)
-    t = tick("parse", t)
-    status, path_off, flat = align_bulk(
-        graph, parsed, m, effort, batch_size=batch_size, mode=mode,
-        partial=partial, mesh=mesh, index_layout=index_layout,
-        shard_index=shard_index,
-    )
-    t = tick("align", t)
-    if stats.index_hbm is None:
-        from .index.device import hbm_report
-
-        stats.index_hbm = hbm_report(get_device_index(graph, index_layout))
-    stats.read_number += parsed.n
+def _count_stats(stats, status):
     aligned = (status == STATUS_ALIGNED_FWD) | (status == STATUS_ALIGNED_RC)
+    stats.read_number += len(status)
     stats.aligned += int(aligned.sum())
     stats.no_overlap += int(np.isin(status, _NO_OVERLAP_STATUSES).sum())
     stats.not_aligned += int((status == STATUS_FAILED).sum())
+    return aligned
 
+
+def _format_outputs(graph, parsed, status, path_off, flat, correction,
+                    aligned):
+    """(paths_bytes, not_aligned_bytes) for one aligned record block —
+    shared by the buffered pipeline and the resumable per-segment
+    writer (byte format per SURVEY §4.1 items 1-3)."""
+    from . import native
+
+    paths_out: list[bytes] = []
+    na_out: list[bytes] = []
     if correction:
         if native.available():
             paths_out.append(
@@ -171,7 +148,6 @@ def _run_file_bulk(
             )
         )
 
-    t = tick("format", t)
     if not aligned.all():
         chars = _CHARS[parsed.codes].copy()
         chars[parsed.nmask] = ord("N")
@@ -188,7 +164,80 @@ def _run_file_bulk(
                 h = parsed.headers[parsed.hdr_off[i] : parsed.hdr_off[i + 1]]
                 s, e = int(parsed.seq_off[i]), int(parsed.seq_off[i + 1])
                 na_out.append(h + b"\n" + cb[s:e] + b"\n")
-    tick("notaligned", t)
+    return b"".join(paths_out), b"".join(na_out)
+
+
+def make_progress_printer(every_batches: int):
+    """Periodic in-run stats line (the reference prints a stats block
+    every 10 read-batches, alignerExhaustive.cpp:306-316; BooPHF has a
+    build ETA bar, BooPHF.h:51-202).  Returns an align_bulk `progress`
+    callback printing to stderr every `every_batches` completed
+    batches (and on the final batch), or None when disabled."""
+    if not every_batches:
+        return None
+    import sys
+
+    t0 = time.monotonic()
+    seen = {"n": 0}
+
+    def progress(done, total, aligned):
+        seen["n"] += 1
+        if seen["n"] % every_batches and done < total:
+            return
+        dt = max(time.monotonic() - t0, 1e-9)
+        pct = 100.0 * aligned / max(done, 1)
+        print(
+            f"[progress] reads {done}/{total} | aligned {aligned} "
+            f"({pct:.1f}%) | {done / dt:,.0f} reads/s",
+            file=sys.stderr, flush=True,
+        )
+
+    return progress
+
+
+def _run_file_bulk(
+    graph, rf, m, effort, fastq, correction, batch_size,
+    stats, paths_out, na_out, mode="greedy", partial=False,
+    mesh=None, rec_range=None, index_layout="scan", shard_index=False,
+    progress=None,
+):
+    import os
+    import sys
+
+    from . import native
+    from .engine.runner import align_bulk, get_device_index
+
+    timing = os.environ.get("DBGTPU_TIMING")
+
+    def tick(label, t0):
+        if timing:
+            print(f"[timing] {label}: {time.monotonic() - t0:.2f}s",
+                  file=sys.stderr, flush=True)
+        return time.monotonic()
+
+    t = time.monotonic()
+    parsed = native.parse_reads(rf, graph.k, fastq)
+    if rec_range is not None:
+        s, e = rec_range(parsed.n)
+        parsed = parsed.slice_records(s, e)
+    t = tick("parse", t)
+    status, path_off, flat = align_bulk(
+        graph, parsed, m, effort, batch_size=batch_size, mode=mode,
+        partial=partial, mesh=mesh, index_layout=index_layout,
+        shard_index=shard_index, progress=progress,
+    )
+    t = tick("align", t)
+    if stats.index_hbm is None:
+        from .index.device import hbm_report
+
+        stats.index_hbm = hbm_report(get_device_index(graph, index_layout))
+    aligned = _count_stats(stats, status)
+    pb, nab = _format_outputs(
+        graph, parsed, status, path_off, flat, correction, aligned
+    )
+    paths_out.append(pb)
+    na_out.append(nab)
+    tick("format", t)
 
 
 def align_stream_python(
@@ -247,6 +296,7 @@ def run_pipeline(
     num_processes: int = 1,
     index_layout: str = "scan",
     shard_index: bool = False,
+    progress_every: int = 0,
 ):
     """Returns (paths_bytes, not_aligned_bytes, RunStats).
 
@@ -294,12 +344,22 @@ def run_pipeline(
                 None if mesh_devices < 0 else mesh_devices
             )
         # bulk array path: native parse -> device batches -> native format
+        # start the index H2D now (device_put is async): the upload —
+        # the largest transfer of a run, and the whole startup cost of
+        # a --load-index start — streams while the reads file parses,
+        # instead of stalling the first batch dispatch (VERDICT r3
+        # item 5)
+        from .engine.core import index_to_device
+        from .engine.runner import get_device_index
+
+        index_to_device(get_device_index(graph, index_layout))
+        progress = make_progress_printer(progress_every)
         for rf in reads_files:
             _run_file_bulk(
                 graph, rf, m, effort, fastq, correction, batch_size,
                 stats, paths_out, na_out, mode=mode, partial=partial,
                 mesh=mesh, rec_range=rec_range, index_layout=index_layout,
-                shard_index=shard_index,
+                shard_index=shard_index, progress=progress,
             )
         stats.map_seconds = time.monotonic() - t1
         return b"".join(paths_out), b"".join(na_out), stats
@@ -340,3 +400,160 @@ def run_pipeline(
                 na_out.append(header + b"\n" + seq + b"\n")
     stats.map_seconds = time.monotonic() - t1
     return b"".join(paths_out), b"".join(na_out), stats
+
+
+def _journal_fingerprint(reads_files, unitig_file, k, m, effort, mode,
+                         fastq, correction) -> str:
+    import hashlib
+
+    blob = repr((list(reads_files), unitig_file, k, m, effort, mode,
+                 bool(fastq), bool(correction))).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def run_pipeline_resumable(
+    reads_files: list[str],
+    unitig_file: str,
+    k: int,
+    paths_file: str,
+    na_file: str,
+    m: int = 2,
+    effort: int = 2,
+    fastq: bool = False,
+    correction: bool = False,
+    batch_size: int = 32768,
+    graph: UnitigGraph | None = None,
+    mode: str = "greedy",
+    partial: bool = False,
+    mesh_devices: int = 0,
+    index_layout: str = "scan",
+    shard_index: bool = False,
+    segment_records: int = 0,
+    progress_every: int = 0,
+) -> RunStats:
+    """Crash-resumable mapping run (SURVEY §5 checkpoint/resume:
+    "resume mid-file by read offset" — a capability the reference lacks
+    entirely: it rebuilds and restarts every run, aligner.cpp:537-547).
+
+    Output is written incrementally per segment of `segment_records`
+    reads and progress is journaled to `<paths_file>.resume.json`:
+    append outputs -> flush+fsync -> atomically replace the journal
+    (tmp+rename) with the new (file index, record offset, output byte
+    offsets, running stats).  A killed run restarts with the SAME
+    command + --resume: outputs are truncated to the journaled byte
+    offsets (dropping any torn tail past the last fsync) and mapping
+    continues at the journaled record offset, so the final bytes equal
+    a single uninterrupted run's.  The journal is removed on
+    completion."""
+    import json
+    import os
+
+    from . import native
+    from .engine.runner import align_bulk
+
+    t_ix = time.monotonic()
+    if graph is None:
+        graph = build_graph(unitig_file, k, dog_mode=(mode == "anchors"))
+    t_ix = time.monotonic() - t_ix
+    if not segment_records:
+        segment_records = 4 * batch_size
+    segment_records = max(segment_records, batch_size)
+
+    mesh = None
+    if mesh_devices:
+        from .dist.mesh import make_mesh
+
+        mesh = make_mesh(None if mesh_devices < 0 else mesh_devices)
+
+    journal_file = paths_file + ".resume.json"
+    fp = _journal_fingerprint(
+        reads_files, unitig_file, k, m, effort, mode, fastq, correction
+    )
+    state = {
+        "version": 1, "fingerprint": fp, "file_idx": 0, "record_off": 0,
+        "paths_bytes": 0, "na_bytes": 0,
+        "stats": dict(read_number=0, aligned=0, not_aligned=0,
+                      no_overlap=0),
+    }
+    if os.path.exists(journal_file):
+        with open(journal_file) as f:
+            prev = json.load(f)
+        if prev.get("fingerprint") != fp:
+            raise ValueError(
+                f"--resume journal {journal_file} was written by a run "
+                "with different inputs/parameters; delete it to start "
+                "fresh"
+            )
+        state = prev
+
+    # truncate any torn tail beyond the last journaled fsync, then
+    # append from there
+    for path, off in ((paths_file, state["paths_bytes"]),
+                      (na_file, state["na_bytes"])):
+        if os.path.exists(path):
+            with open(path, "r+b") as f:
+                f.truncate(off)
+        elif off:
+            raise ValueError(
+                f"--resume journal expects {off} bytes in {path}, "
+                "but the file is missing; delete the journal to start "
+                "fresh"
+            )
+    stats = RunStats(**state["stats"])
+    stats.index_seconds = t_ix
+    t1 = time.monotonic()
+    from .engine.core import index_to_device
+    from .engine.runner import get_device_index
+
+    index_to_device(get_device_index(graph, index_layout))  # async H2D
+    progress = make_progress_printer(progress_every)
+
+    with open(paths_file, "ab") as pf, open(na_file, "ab") as naf:
+        for fi, rf in enumerate(reads_files):
+            if fi < state["file_idx"]:
+                continue
+            parsed_all = native.parse_reads(rf, graph.k, fastq)
+            start = state["record_off"] if fi == state["file_idx"] else 0
+            for s0 in range(start, parsed_all.n, segment_records):
+                e0 = min(s0 + segment_records, parsed_all.n)
+                parsed = parsed_all.slice_records(s0, e0)
+                status, path_off, flat = align_bulk(
+                    graph, parsed, m, effort, batch_size=batch_size,
+                    mode=mode, partial=partial, mesh=mesh,
+                    index_layout=index_layout, shard_index=shard_index,
+                    progress=progress,
+                )
+                aligned = _count_stats(stats, status)
+                pb, nab = _format_outputs(
+                    graph, parsed, status, path_off, flat, correction,
+                    aligned,
+                )
+                pf.write(pb)
+                pf.flush()
+                os.fsync(pf.fileno())
+                naf.write(nab)
+                naf.flush()
+                os.fsync(naf.fileno())
+                state.update(
+                    file_idx=fi, record_off=e0,
+                    paths_bytes=state["paths_bytes"] + len(pb),
+                    na_bytes=state["na_bytes"] + len(nab),
+                    stats=dict(
+                        read_number=stats.read_number,
+                        aligned=stats.aligned,
+                        not_aligned=stats.not_aligned,
+                        no_overlap=stats.no_overlap,
+                    ),
+                )
+                tmp = journal_file + ".tmp"
+                with open(tmp, "w") as jf:
+                    json.dump(state, jf)
+                    jf.flush()
+                    os.fsync(jf.fileno())
+                os.replace(tmp, journal_file)
+            state["file_idx"] = fi + 1
+            state["record_off"] = 0
+    stats.map_seconds = time.monotonic() - t1
+    if os.path.exists(journal_file):
+        os.remove(journal_file)
+    return stats
