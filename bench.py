@@ -204,6 +204,36 @@ def main() -> int:
         a, c = jax.lax.map(body, (words_s, nmbits_s))
         return jnp.sum(a), jnp.sum(c) ^ 0
 
+    @functools.partial(jax.jit, static_argnames=("L", "pmax", "reps"))
+    def step_reps_jit(ix, words_s, nmbits_s, lens, *, L, pmax, reps):
+        # the compute-floor probe (VERDICT r3 item 3): run the whole
+        # workload `reps` times inside ONE dispatch so the tunnel's
+        # per-call latency/RTT amortizes to ~nothing; the device-only
+        # step time is then (T(reps=R) - T(reps=1)) / (R-1) / n_batches.
+        # The batch stack is rolled by the rep index so XLA's
+        # while-loop-invariant code motion cannot hoist the (otherwise
+        # identical) body out of the loop.
+        def body(i, carry):
+            a, c = carry
+            ws = jnp.roll(words_s, i, axis=0)
+            ns = jnp.roll(nmbits_s, i, axis=0)
+            def one(wb):
+                w, b = wb
+                fused = align_batch_packed.__wrapped__(
+                    ix, w, b, lens,
+                    mode="greedy", k=K, m=M, effort=EFFORT, L=L,
+                    pmax=pmax,
+                )
+                status = fused[:, 0].astype(jnp.int32)
+                al = jnp.sum((status == 1) | (status == 2))
+                chk = jnp.sum(fused.astype(jnp.int32))
+                return al.astype(jnp.int32), chk.astype(jnp.int32)
+            a2, c2 = jax.lax.map(one, (ws, ns))
+            return a + jnp.sum(a2), c ^ jnp.sum(c2)
+        return jax.lax.fori_loop(
+            0, reps, body, (jnp.int32(0), jnp.int32(0))
+        )
+
     # ---- cold-start split (VERDICT r2 item 5): XLA trace/lower vs
     # backend compile (persistent-cache-served on later runs) vs first
     # execution.  The session warmup was already absorbed above, so
@@ -252,6 +282,34 @@ def main() -> int:
             f"-> {rps:,.0f} reads/s ({aligned_total} aligned)")
         rates.append(rps)
     best = sorted(rates)[len(rates) // 2]  # median, robust + honest
+
+    # ---- compute floor: device-only step time with per-call tunnel
+    # costs differenced away (two in-dispatch repeat loops) ----
+    device_step_ms = compute_rps = None
+    try:
+        R = int(os.environ.get("DBGTPU_BENCH_FLOOR_REPS", 9))
+        times = {}
+        for reps in (1, R):
+            a0, c0 = step_reps_jit(
+                ix, words_s, nmbits_s, lens_d, L=L, pmax=PMAX, reps=reps,
+            )
+            np.asarray(jnp.stack([a0, c0]))      # warm/compile
+            t0 = time.monotonic()
+            a0, c0 = step_reps_jit(
+                ix, words_s, nmbits_s, lens_d, L=L, pmax=PMAX, reps=reps,
+            )
+            np.asarray(jnp.stack([a0, c0]))
+            times[reps] = time.monotonic() - t0
+        device_step_ms = (
+            (times[R] - times[1]) / (R - 1) / N_BATCHES * 1e3
+        )
+        compute_rps = BATCH / (device_step_ms / 1e3)
+        log(f"compute floor: device step {device_step_ms:.1f} ms per "
+            f"{BATCH}-read batch -> {compute_rps:,.0f} reads/s "
+            f"device-only (loop timings: reps=1 {times[1]*1e3:.0f} ms, "
+            f"reps={R} {times[R]*1e3:.0f} ms)")
+    except Exception as e:
+        log(f"compute-floor leg failed: {type(e).__name__}: {e}")
 
     frac = aligned_total / n_reads
     log(f"aligned fraction: {frac:.1%} of all reads (the reference "
@@ -321,6 +379,9 @@ def main() -> int:
             t0 = time.monotonic()
             g2 = load_index(idx)
             t_load = time.monotonic() - t0
+            # run_pipeline starts the fresh graph's index H2D
+            # asynchronously before parsing, so the transfer overlaps
+            # host work; everything after load_index is one "map" leg
             t0 = time.monotonic()
             paths, na, st = run_pipeline(
                 [rf], uf, k=K, m=M, effort=EFFORT, impl="jax",
@@ -328,8 +389,8 @@ def main() -> int:
             )
             dt = time.monotonic() - t0
             e2e["load"] = n_reads / (dt + t_load)
-            log(f"end-to-end (load-index): load {t_load:.1f}s + map "
-                f"{dt:.1f}s -> {e2e['load']:,.0f} reads/s "
+            log(f"end-to-end (load-index): load {t_load:.1f}s + "
+                f"H2D+map {dt:.1f}s -> {e2e['load']:,.0f} reads/s "
                 f"({st.aligned} aligned)")
     except Exception as e:  # never lose the headline metric
         log(f"end-to-end leg failed: {type(e).__name__}: {e}")
@@ -340,6 +401,9 @@ def main() -> int:
         "unit": "reads/s",
         "vs_baseline": round(best / BASELINE_READS_PER_S, 2),
     }
+    if device_step_ms is not None:
+        out["device_step_ms"] = round(device_step_ms, 2)
+        out["compute_reads_per_sec"] = round(compute_rps, 1)
     if "warm" in e2e:
         out["end_to_end_reads_per_sec"] = round(e2e["warm"], 1)
         out["end_to_end_vs_baseline"] = round(
