@@ -17,3 +17,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Every test not explicitly marked `slow` is `quick`, so
+    `pytest -m quick` is the <2-minute commit gate and the full suite
+    stays the per-round gate (VERDICT r3 item 8)."""
+    for item in items:
+        if "slow" not in item.keywords and "quick" not in item.keywords:
+            item.add_marker(pytest.mark.quick)

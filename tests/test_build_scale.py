@@ -29,6 +29,8 @@ from dbgtpu.index.device import build_device_index, hbm_report
 
 from . import synth
 
+pytestmark = pytest.mark.slow  # heavy parity/scale suite (full gate)
+
 
 def _unitigs(n_target: int, seed: int):
     # ~65 bases of unique genome per unitig at 40-150 bp, k=31

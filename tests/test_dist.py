@@ -2,10 +2,12 @@
 device results; psum stats correct; driver entry points run."""
 
 import numpy as np
+import pytest
 
 import dbgtpu  # noqa: F401  (package import first)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 
@@ -23,6 +25,7 @@ def test_entry_compiles():
     assert (status[:2] == 1).all()
 
 
+@pytest.mark.slow
 def test_sharded_matches_single():
     import jax
     from dbgtpu.dist.mesh import align_batch_sharded, make_mesh

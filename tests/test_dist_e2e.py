@@ -20,6 +20,8 @@ import pytest
 
 from .synth import make_dataset
 
+pytestmark = pytest.mark.slow  # heavy parity/scale suite (full gate)
+
 _ENV = dict(
     os.environ,
     JAX_PLATFORMS="cpu",

@@ -77,6 +77,7 @@ def test_engine_fixture_golden(tmp_path):
     (103, 21, 1, 0.3),
     (104, 31, 0, 0.0),
 ])
+@pytest.mark.slow
 def test_engine_vs_spec(tmp_path, seed, k, m, n_frac):
     reads_fa, unitigs_fa = synth.make_dataset(
         seed=seed, genome_len=12000, k=k, n_reads=150, n_frac=n_frac,
@@ -87,6 +88,7 @@ def test_engine_vs_spec(tmp_path, seed, k, m, n_frac):
     assert got[1] == want[1]
 
 
+@pytest.mark.slow
 def test_engine_vs_spec_short_unitigs(tmp_path):
     reads_fa, unitigs_fa = synth.make_dataset(
         seed=111, genome_len=6000, k=15, n_reads=120,
@@ -100,6 +102,7 @@ def test_engine_vs_spec_short_unitigs(tmp_path):
 
 @pytest.mark.skipif(not oracle.reference_available(),
                     reason="reference not mounted")
+@pytest.mark.slow
 def test_engine_vs_reference_binary(tmp_path):
     reads_fa, unitigs_fa = synth.make_dataset(
         seed=121, genome_len=20000, k=31, n_reads=300, n_frac=0.2,
@@ -114,6 +117,7 @@ def test_engine_vs_reference_binary(tmp_path):
     assert na == ref_na
 
 
+@pytest.mark.slow
 def test_engine_pool_chunk_fallback_matches_embedded(tmp_path, monkeypatch):
     """The SW == 0 pool-chunk gather path (taken when unitigs exceed
     EMBED_CAP_BASES) must produce the same results as the embedded-seq
@@ -132,6 +136,7 @@ def test_engine_pool_chunk_fallback_matches_embedded(tmp_path, monkeypatch):
     assert got[1] == want[1]
 
 
+@pytest.mark.slow
 def test_engine_mphf_layout_matches_scan(tmp_path):
     """--index-layout mphf (compact BBHash-backed junction table) must
     be byte-identical to the default one-gather scan layout across all

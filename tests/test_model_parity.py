@@ -24,9 +24,12 @@ def _run_both(reads_fa: bytes, unitigs_fa: bytes, k: int, m: int, effort: int,
     return (paths, na), (ref_paths, ref_na)
 
 
-pytestmark = pytest.mark.skipif(
-    not oracle.reference_available(), reason="reference not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not oracle.reference_available(), reason="reference not mounted"
+    ),
+    pytest.mark.slow,  # reference binary + both impls per test
+]
 
 
 @pytest.mark.parametrize("seed,k,m", [

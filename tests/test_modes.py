@@ -33,6 +33,8 @@ from dbgtpu.seq import encode, hamming, n_mask
 from . import synth
 from .oracle import reference_available, run_reference
 
+pytestmark = pytest.mark.slow  # heavy parity/scale suite (full gate)
+
 FIXTURE_READS = open("/root/reference/reads.fa", "rb").read()
 FIXTURE_UNITIGS = open("/root/reference/unitig.fa", "rb").read()
 

@@ -106,6 +106,7 @@ def test_format_notaligned():
     assert out == b">r1\nGGCC\n>r2\nAATT\n"
 
 
+@pytest.mark.slow
 def test_corrected_native_matches_python_spec(tmp_path):
     """-c output through the jax bulk pipeline (native recoverPath
     formatter) must byte-match the python spec pipeline."""

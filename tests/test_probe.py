@@ -97,6 +97,7 @@ def test_closure_member_equals_per_position_scan(k, window):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.slow
 def test_align_batch_identical_with_and_without_probe_table(tmp_path):
     """End-to-end: engine results identical when the probe table is
     stripped (falls back to the per-position scan)."""
