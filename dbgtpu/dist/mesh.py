@@ -182,9 +182,9 @@ def sharded_packed_group_fn(
 
     axis = READS_AXIS if shard_index else None
 
-    def shard_fn(ix, words_s, nmbits_s, lens_s):
+    def shard_fn(ix, words_t, nmbits_t, lens_t):
         fused_s = align_batches_packed(
-            ix, words_s, nmbits_s, lens_s, mode=mode, k=k, m=m,
+            ix, words_t, nmbits_t, lens_t, mode=mode, k=k, m=m,
             effort=effort, L=L, pmax=pmax, jl_meta=jl_meta,
             partial=partial, shard_axis=axis,
         )
@@ -203,15 +203,13 @@ def sharded_packed_group_fn(
         )
     else:
         ix_spec = P()
+    # the batch args are TUPLES of per-batch [B, ·] arrays (prefix
+    # pytree spec: P(READS_AXIS) shards every leaf's batch dim); the
+    # fused result is stacked [G, B, ·], sharded on dim 1
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(
-            ix_spec,
-            P(None, READS_AXIS),
-            P(None, READS_AXIS),
-            P(None, READS_AXIS),
-        ),
+        in_specs=(ix_spec, P(READS_AXIS), P(READS_AXIS), P(READS_AXIS)),
         out_specs=(P(None, READS_AXIS), P()),
         check_vma=False,
     )

@@ -1376,12 +1376,18 @@ def _unpack_words(words, nmbits, L: int):
     """Inverse of the host-side 2-bit/1-bit packing (runner.pack_words
     batch variants): words uint32 [B, ceil(L/16)] -> codes uint8 [B, L];
     nmbits uint32 [B, ceil(L/32)] -> bool [B, L].  Pure VPU reshapes and
-    shifts — the H2D payload stays 2.25 bits/base instead of 16."""
+    shifts — the H2D payload stays 2.25 bits/base instead of 16.
+
+    A [B, 0]-shaped nmbits means "batch provably N-free" (the runner
+    drops the mask payload then — it was ~1/3 of the per-batch H2D);
+    the mask unpacks as all-False and the engine's has-N cond folds."""
     B, Lw = words.shape
     sh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
     codes = ((words[:, :, None] >> sh) & jnp.uint32(3)).reshape(
         B, Lw * 16
     )[:, :L].astype(jnp.uint8)
+    if nmbits.shape[1] == 0:
+        return codes, jnp.zeros((B, L), bool)
     shb = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
     nm = (((nmbits[:, :, None] >> shb) & jnp.uint32(1)) != 0).reshape(
         B, -1
@@ -1472,9 +1478,9 @@ def align_batch_packed(
 )
 def align_batches_packed(
     ix: IndexArrays,
-    words_s,    # uint32 [G, B, ceil(L/16)] stacked packed batches
-    nmbits_s,   # uint32 [G, B, ceil(L/32)]
-    lens_s,     # int32  [G, B]
+    words_t,    # tuple of G uint32 [B, ceil(L/16)] packed batches
+    nmbits_t,   # tuple of G uint32 [B, ceil(L/32)] (or [B, 0]: N-free)
+    lens_t,     # tuple of G int32 [B]
     *,
     mode: str = "greedy",
     k: int,
@@ -1499,7 +1505,16 @@ def align_batches_packed(
     cuts the tunnel round-trips per read by G while keeping the
     per-batch program (and its compiled executable) identical — the
     same structure the reference amortizes with its 10k-read batch
-    pulls under one mutex acquisition (alignerGreedy.cpp:373-377)."""
+    pulls under one mutex acquisition (alignerGreedy.cpp:373-377).
+
+    The batches arrive as TUPLES of per-batch arrays, not a host-side
+    stack: the runner device_puts each batch as soon as it is packed,
+    so batch i's H2D streams behind batch i+1's packing, and the
+    stack happens on device (free) at dispatch time."""
+
+    words_s = jnp.stack(list(words_t))
+    nmbits_s = jnp.stack(list(nmbits_t))
+    lens_s = jnp.stack(list(lens_t))
 
     def body(args):
         w, nb, ln = args

@@ -41,8 +41,11 @@ _log = logging.getLogger("dbgtpu.runner")
 PMAX_CAP = int(os.environ.get("DBGTPU_PMAX_CAP", 30))
 
 # batches fused into one device dispatch (tunnel round-trips per read
-# drop by this factor; the group is one lax.map program)
-DISPATCH_GROUP = 4
+# drop by this factor; the group is one lax.map program).  2 keeps
+# groups pipelining against each other (H2D/compute/D2H of successive
+# groups overlap) even on short runs; raise for many-batch runs on
+# high-latency links
+DISPATCH_GROUP = 2
 
 # a device/transfer fault is recovered exactly (host spec recompute),
 # but a PERSISTENT fault would otherwise degrade into a silent ~50x
@@ -296,6 +299,16 @@ def align_bulk(
         aligned = (status == 1) | (status == 2)
         over = aligned & (plen > pmax)
         counts = np.where(aligned, np.minimum(plen, pmax), 0)
+        inv = di.id_inv
+        if inv is not None:
+            # renumbered device ids -> file-order ids (slot 0 of each
+            # packed path is the offset, not an id; overflow rows are
+            # about to be host-recomputed with file-order ids already)
+            cols_ = np.arange(paths.shape[1])[None, :]
+            m = ((aligned & ~over)[:, None]
+                 & (cols_ >= 1) & (cols_ < counts[:, None]))
+            vv = paths[m]
+            paths[m] = np.sign(vv) * inv[np.abs(vv)]
         if over.any():
             # exact fallback: the capped device buffer truncated these
             # paths; recompute them on host via the executable spec
@@ -352,26 +365,15 @@ def align_bulk(
         nonlocal pend
         if not pend:
             return
-        L, pmax = pend_key
+        L, pmax, _lb = pend_key
         metas = [(p["s0"], p["nb"], p["slot"]) for p in pend]
-        words_s = np.stack([p["words"] for p in pend])
-        nmbits_s = np.stack([p["nmbits"] for p in pend])
-        blens_s = np.stack([p["blens"] for p in pend])
+        words_t = tuple(p["words"] for p in pend)
+        nmbits_t = tuple(p["nmbits"] for p in pend)
+        blens_t = tuple(p["blens"] for p in pend)
         pend = []
         try:
-            if mesh is None:
-                # explicit async H2D: the uploads start now and overlap
-                # later packing; the dispatch below then references
-                # in-flight buffers instead of paying a synchronous
-                # transfer inside the call (mesh groups go through
-                # shard_map's own per-device placement instead)
-                import jax as _jax
-
-                words_s = _jax.device_put(words_s)
-                nmbits_s = _jax.device_put(nmbits_s)
-                blens_s = _jax.device_put(blens_s)
             fused_s = group_fn(
-                ix, words_s, nmbits_s, blens_s, L=L, pmax=pmax
+                ix, words_t, nmbits_t, blens_t, L=L, pmax=pmax
             )
         except Exception as e:
             # dispatch failed: batch-level restart on host
@@ -384,17 +386,14 @@ def align_bulk(
             pass                          # no async copy: still fine
         futures.append(pool.submit(drain_group, metas, fused_s, pmax))
 
+    import jax as _jax
+
     with ThreadPoolExecutor(max_workers=1) as pool:
         for slot, s0 in enumerate(range(0, N, batch_size)):
             nb = min(batch_size, N - s0)
             lens = lens_all[s0 : s0 + nb]
             L = _bucket_len(int(lens.max(initial=k + 1)), k)
             pmax = min(_pmax_for(di, L), PMAX_CAP)
-            if pend_key is not None and (
-                (L, pmax) != pend_key or len(pend) >= group_n
-            ):
-                flush_group(pool)
-            pend_key = (L, pmax)
             if use_native_pack:
                 words, nmbits, blens = native.pack_batch_native(
                     parsed, s0, nb, batch_size, L
@@ -413,6 +412,22 @@ def align_bulk(
                 blens = np.zeros(batch_size, np.int32)
                 blens[:nb] = lens
                 words, nmbits = pack_words_batch(codes, nmask)
+            if not nmbits.any():
+                # provably N-free batch: drop the mask payload (~1/3
+                # of the per-batch H2D; the engine's has-N work folds)
+                nmbits = np.zeros((batch_size, 0), np.uint32)
+            key = (L, pmax, nmbits.shape[1])
+            if pend and (key != pend_key or len(pend) >= group_n):
+                flush_group(pool)
+            pend_key = key
+            if mesh is None:
+                # per-batch async H2D: this batch's upload streams
+                # behind the next batch's packing; the group dispatch
+                # then references in-flight device buffers (mesh
+                # batches go through shard_map's own placement instead)
+                words = _jax.device_put(words)
+                nmbits = _jax.device_put(nmbits)
+                blens = _jax.device_put(blens)
             flat_parts.append(None)
             pend.append(dict(
                 s0=s0, nb=nb, slot=slot,

@@ -603,6 +603,11 @@ class DeviceIndex:
     halo_bases: int = 0                 # max window a chunk row covers
     probe_tbl: ProbeTable | None = None  # W-position closure anchor scan
     mphf_junction: MphfJunction | None = None  # compact layout (mphf)
+    # graph-order unitig renumbering (DBGTPU_RENUMBER=1): device tables
+    # use BFS-order ids so a junction's <=4 candidates sit in adjacent
+    # umeta rows; id_inv maps device ids back to file-order ids (the
+    # runner translates paths on drain, so output bytes are unchanged)
+    id_inv: np.ndarray | None = None     # int32 [U+1], id_inv[new]=orig
 
 
 @dataclass
@@ -667,14 +672,72 @@ def hbm_report(di: DeviceIndex) -> dict:
     return rep
 
 
+def _renumber_perm(jvals: np.ndarray, n_unitigs: int) -> np.ndarray:
+    """BFS order over the junction co-occurrence graph.
+
+    Unitigs stored in the same junction slot row are exactly the <=4
+    candidates a walk step gathers together (and walk transitions move
+    between row-sharing unitigs), so BFS over "shares a junction row"
+    makes graph-adjacent unitigs HBM-adjacent umeta rows — the
+    walk-gather locality lead of VERDICT r3 item 2.  Returns perm
+    int32 [U+1] with perm[orig] = new id (perm[0] = 0: the reference's
+    1-based sentinel, aligner.cpp:408, is preserved).  Slot ORDER
+    inside each row is untouched, so the engine's earliest-slot
+    tie-breaks — and therefore the selected paths — are identical."""
+    U = n_unitigs
+    v = jvals.astype(np.int64)
+    nz = v > 0
+    has = nz.any(axis=1)
+    first = np.zeros(len(v), np.int64)
+    first[has] = v[has][np.arange(has.sum()), nz[has].argmax(axis=1)]
+    src = np.repeat(first, v.shape[1])
+    dst = v.ravel()
+    m = (dst > 0) & (src > 0) & (src != dst)
+    es = np.concatenate([src[m], dst[m]])
+    et = np.concatenate([dst[m], src[m]])
+    order = np.argsort(es, kind="stable")
+    s_sorted = es[order]
+    t_sorted = et[order]
+    indptr = np.zeros(U + 2, np.int64)
+    np.add.at(indptr, s_sorted + 1, 1)
+    np.cumsum(indptr, out=indptr)
+
+    from collections import deque
+
+    visited = np.zeros(U + 1, bool)
+    visited[0] = True
+    out = np.empty(U + 1, np.int64)
+    out[0] = 0
+    pos = 1
+    for s0 in range(1, U + 1):
+        if visited[s0]:
+            continue
+        visited[s0] = True
+        dq = deque([s0])
+        while dq:
+            u = dq.popleft()
+            out[pos] = u
+            pos += 1
+            for t in t_sorted[indptr[u] : indptr[u + 1]]:
+                if not visited[t]:
+                    visited[t] = True
+                    dq.append(int(t))
+    perm = np.zeros(U + 1, np.int32)
+    perm[out] = np.arange(U + 1, dtype=np.int32)
+    return perm
+
+
 def build_device_index(
-    g: UnitigGraph, max_read_len: int = 256, layout: str = "scan"
+    g: UnitigGraph, max_read_len: int = 256, layout: str = "scan",
+    renumber: bool | None = None,
 ) -> DeviceIndex:
     from ..seq import rcb
 
     if layout not in ("scan", "mphf"):
         raise ValueError(f"unknown index layout {layout!r}")
     k1 = g.k - 1
+    if renumber is None:
+        renumber = bool(int(os.environ.get("DBGTPU_RENUMBER", "0")))
     if g.jkeys is not None:
         keys, vals = g.jkeys, g.jvals    # vectorized build.py slot table
     else:
@@ -687,6 +750,24 @@ def build_device_index(
                 vals[i, j] = uid
             for j, uid in enumerate(g.right.get(key, [])[:4]):
                 vals[i, 4 + j] = uid
+    id_inv = None
+    perm = None
+    ubeg_src, uend_src = g.ubeg, g.uend
+    uoff_src, ulen_src = g.offsets, g.lengths
+    if renumber and g.n_unitigs > 1:
+        perm = _renumber_perm(np.asarray(vals, np.int64), g.n_unitigs)
+        inv = np.zeros_like(perm)
+        inv[perm] = np.arange(len(perm), dtype=np.int32)
+        id_inv = inv
+        vals = np.where(
+            vals > 0, perm[np.maximum(vals, 0)], 0
+        ).astype(np.int32)
+        # per-unitig arrays reordered to the new ids; the pool itself
+        # (and its offsets) stays in file order — only metadata/seq
+        # ROWS move, which is where the walk gathers land
+        ubeg_src, uend_src = g.ubeg[inv], g.uend[inv]
+        uoff_src, ulen_src = g.offsets[inv], g.lengths[inv]
+
     mphf_junction = None
     if layout == "mphf":
         scan_tbl = None
@@ -695,10 +776,10 @@ def build_device_index(
         scan_tbl = build_scan_table(keys, vals)
     probe_tbl = build_probe_table(keys, k1)
 
-    rcbeg = rcb(g.ubeg, k1)
-    rcend = rcb(g.uend, k1)
-    ubeg_hi, ubeg_lo = split64(g.ubeg)
-    uend_hi, uend_lo = split64(g.uend)
+    rcbeg = rcb(ubeg_src, k1)
+    rcend = rcb(uend_src, k1)
+    ubeg_hi, ubeg_lo = split64(ubeg_src)
+    uend_hi, uend_lo = split64(uend_src)
     rcbeg_hi, rcbeg_lo = split64(rcbeg)
     rcend_hi, rcend_lo = split64(rcend)
 
@@ -716,13 +797,14 @@ def build_device_index(
         ukm = (g.pool[pos[:, None] + jk].astype(np.uint64) << wk).sum(
             axis=1, dtype=np.uint64
         )
+        auid = av[:, 0] if perm is None else perm[av[:, 0]]
         avals = np.column_stack(
-            [av[:, 0], av[:, 1], (ukm == akeys).astype(np.int64)]
+            [auid, av[:, 1], (ukm == akeys).astype(np.int64)]
         ).astype(np.int32)
         anchor_scan = build_scan_table(akeys, avals)
 
-    uoff = g.offsets.astype(np.int32)
-    ulen = g.lengths.astype(np.int32)
+    uoff = uoff_src.astype(np.int32)
+    ulen = ulen_src.astype(np.int32)
     U1 = len(uoff)
     max_ulen = int(g.lengths.max(initial=0))
 
@@ -798,4 +880,5 @@ def build_device_index(
         halo_bases=halo,
         probe_tbl=probe_tbl,
         mphf_junction=mphf_junction,
+        id_inv=id_inv,
     )

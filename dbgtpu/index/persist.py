@@ -63,6 +63,10 @@ def save_index(g: UnitigGraph, path: str, di: DeviceIndex | None = None) -> None
         d_rcend_hi=di.rcend_hi, d_rcend_lo=di.rcend_lo,
         **_anchor_arrays(g),
     )
+    if di.id_inv is not None:
+        # graph-order renumbered tables: the new->file-order id map
+        # must travel with them (the runner translates on drain)
+        d["d_id_inv"] = di.id_inv
     st = di.scan_tbl
     if st is not None:
         d.update(st_keys=st.keys, st_vals=st.vals,
@@ -134,6 +138,7 @@ def load_index(path: str) -> UnitigGraph:
         umeta=z["d_umeta"], pool_rows=z["d_pool_rows"],
         n_chunks=int(z["d_n_chunks"]), halo_bases=int(z["d_halo"]),
         probe_tbl=pt, mphf_junction=None,
+        id_inv=(z["d_id_inv"] if "d_id_inv" in z else None),
     )
     return g
 

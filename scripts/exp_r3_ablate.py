@@ -1,6 +1,18 @@
-"""Single-dispatch ablate profiling of the mapping step: each variant
-is ONE jitted program returning one scalar, so stage costs are not
-polluted by multi-dispatch/sync overhead.  Also batch-size scaling.
+"""Single-dispatch ablate profiling of the mapping step.
+
+Each variant runs the WHOLE stacked workload (lax.map over batches)
+in ONE dispatch per rep and fetches ONE scalar, so a variant's time
+contains exactly one tunnel round-trip; the `null` variant (same I/O,
+trivial compute) measures that per-call floor, and
+`per_batch_minus_null_ms` is the clean incremental device cost of the
+stages the variant enables.  (The former per-batch-dispatch version
+folded a ~26 ms RTT into every per-batch number — r3's "scan 26.5 ms"
+included the floor.)
+
+Env:
+  DBGTPU_SCALE_UNITIGS=1000000 DBGTPU_ABLATE_SCALE=1  -> run on the
+    large-graph workload (bench_scale's cache) instead of bench's 30k
+  DBGTPU_ABLATE_ONLY=1 -> skip the stage1 sweep and batch-size legs
 """
 
 from __future__ import annotations
@@ -41,55 +53,81 @@ def main():
 
     import bench
 
-    unitigs, codes_all = bench.build_workload()
+    if os.environ.get("DBGTPU_ABLATE_SCALE"):
+        import bench_scale
+
+        unitigs, codes_all = bench_scale.workload()
+        READ_LEN = bench_scale.READ_LEN
+    else:
+        unitigs, codes_all = bench.build_workload()
+        READ_LEN = bench.READ_LEN
     from dbgtpu.index.build import build_graph_from_seqs
     from dbgtpu.index.device import build_device_index
     from dbgtpu.engine.core import align_batch, index_to_device
     from dbgtpu.engine.runner import _bucket_len, _pmax_for, PMAX_CAP
 
     K, M, EFFORT = bench.K, bench.M, bench.EFFORT
+    t0 = time.monotonic()
     g = build_graph_from_seqs(unitigs, K)
     di = build_device_index(g)
     ix = index_to_device(di)
     jax.block_until_ready(ix)
-    L = _bucket_len(bench.READ_LEN, K)
+    rec(phase="index", n_unitigs=len(unitigs),
+        dt=time.monotonic() - t0)
+    L = _bucket_len(READ_LEN, K)
     PMAX = min(_pmax_for(di, L), PMAX_CAP)
     N = codes_all.shape[0]
 
     def make_inputs(B):
         nb = N // B
         pad = np.zeros((B, L - codes_all.shape[1]), np.uint8)
-        nm = jax.device_put(np.zeros((B, L), bool), dev)
-        lens = jax.device_put(np.full(B, bench.READ_LEN, np.int32), dev)
-        cs = [
-            jax.device_put(np.concatenate(
-                [codes_all[i * B:(i + 1) * B], pad], axis=1), dev)
+        cs = np.stack([
+            np.concatenate([codes_all[i * B:(i + 1) * B], pad], axis=1)
             for i in range(nb)
-        ]
+        ])
+        cs = jax.device_put(cs, dev)                  # [nb, B, L]
+        nm = jax.device_put(np.zeros((B, L), bool), dev)
+        lens = jax.device_put(np.full(B, READ_LEN, np.int32), dev)
         jax.block_until_ready((cs, nm, lens))
         return cs, nm, lens
 
-    def timed(label, fn, inputs, extra=None):
+    floors = {}
+
+    def timed(label, body_fn, inputs, extra=None):
+        """body_fn(c [B, L], nm, lens) -> scalar; runs lax.map over the
+        stacked batches in ONE dispatch per rep."""
         cs, nm, lens = inputs
+        nb = cs.shape[0]
+
+        @jax.jit
+        def whole(cs, nm, lens):
+            return jnp.sum(jax.lax.map(lambda c: body_fn(c, nm, lens), cs))
+
         t0 = time.monotonic()
-        np.asarray(fn(cs[0], nm, lens))
+        np.asarray(whole(cs, nm, lens))
         warm = time.monotonic() - t0
         ts = []
         for _ in range(4):
             t0 = time.monotonic()
-            outs = [fn(c, nm, lens) for c in cs]
-            for o in outs:
-                np.asarray(o)
+            out = np.asarray(whole(cs, nm, lens))
             ts.append(time.monotonic() - t0)
         med = sorted(ts)[len(ts) // 2]
-        rec(phase=label, compile_s=round(warm, 1),
-            per_batch_ms=round(med / len(cs) * 1e3, 1),
-            reads_per_s=round(N / med), **(extra or {}))
+        per_batch = med / nb * 1e3
+        row = dict(phase=label, compile_s=round(warm, 1),
+                   per_batch_ms=round(per_batch, 2),
+                   reads_per_s=round(N / med), **(extra or {}))
+        key = cs.shape[1]
+        if label.endswith("null"):
+            floors[key] = med
+        elif key in floors:
+            row["per_batch_minus_null_ms"] = round(
+                (med - floors[key]) / nb * 1e3, 2
+            )
+        rec(**row)
 
     inputs32 = make_inputs(32768)
 
     for ab in ("null", "images", "kmers", "member", "scan", "all"):
-        @functools.partial(jax.jit, static_argnames=())
         def fab(c, nm, lens, _ab=ab):
             r = align_batch.__wrapped__(
                 ix, c, nm, lens, k=K, m=M, effort=EFFORT, pmax=PMAX,
@@ -103,7 +141,6 @@ def main():
 
     # stage1_iters sweep
     for s1 in ([] if os.environ.get("DBGTPU_ABLATE_ONLY") else (0, 4, 6, 8, 12)):
-        @functools.partial(jax.jit, static_argnames=())
         def fs(c, nm, lens, _s1=s1):
             r = align_batch.__wrapped__(
                 ix, c, nm, lens, k=K, m=M, effort=EFFORT, pmax=PMAX,
@@ -118,7 +155,6 @@ def main():
         try:
             inp = make_inputs(B)
 
-            @functools.partial(jax.jit, static_argnames=())
             def fb(c, nm, lens):
                 r = align_batch.__wrapped__(
                     ix, c, nm, lens, k=K, m=M, effort=EFFORT, pmax=PMAX,

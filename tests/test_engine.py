@@ -183,3 +183,32 @@ def test_packed_kmer_scan_equals_naive(L, n):
     h2, l2 = _scan_kmer_pairs_words(rw, L, n)
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_renumbered_index_byte_identical(tmp_path, monkeypatch):
+    """DBGTPU_RENUMBER=1 builds the device tables in BFS graph order
+    (walk-gather locality); the runner translates ids back on drain, so
+    pipeline output is byte-identical to the file-order build."""
+    from dbgtpu.pipeline import run_pipeline
+
+    from .synth import make_dataset
+
+    reads_fa, unitigs_fa = make_dataset(
+        seed=909, genome_len=15000, k=21, n_reads=300, err_frac=0.5,
+    )
+    rf = tmp_path / "r.fa"
+    uf = tmp_path / "u.fa"
+    rf.write_bytes(reads_fa)
+    uf.write_bytes(unitigs_fa)
+    want_p, want_n, want_s = run_pipeline(
+        [str(rf)], str(uf), k=21, m=2, effort=2, impl="jax",
+        batch_size=128,
+    )
+    monkeypatch.setenv("DBGTPU_RENUMBER", "1")
+    got_p, got_n, got_s = run_pipeline(
+        [str(rf)], str(uf), k=21, m=2, effort=2, impl="jax",
+        batch_size=128,
+    )
+    assert got_p == want_p
+    assert got_n == want_n
+    assert got_s.aligned == want_s.aligned

@@ -87,3 +87,44 @@ def test_cli_save_load_and_json(tmp_path, monkeypatch):
     # rerun from the persisted index: identical output
     cli_main(["-r", "r.fa", "--load-index", "g.idx.npz"])
     assert (tmp_path / "paths").read_bytes() == first
+
+
+def test_persist_renumbered_index_roundtrip(tmp_path, monkeypatch):
+    """A saved renumbered index carries its id map (d_id_inv); a
+    --load-index start emits file-order ids, byte-identical to a
+    file-order build."""
+    from dbgtpu.index.persist import load_index, save_index
+    from dbgtpu.pipeline import run_pipeline
+
+    from .synth import make_dataset
+
+    reads_fa, unitigs_fa = make_dataset(
+        seed=911, genome_len=12000, k=21, n_reads=200, err_frac=0.5,
+    )
+    rf = tmp_path / "r.fa"
+    uf = tmp_path / "u.fa"
+    rf.write_bytes(reads_fa)
+    uf.write_bytes(unitigs_fa)
+    want_p, want_n, _ = run_pipeline(
+        [str(rf)], str(uf), k=21, m=2, effort=2, impl="jax",
+        batch_size=64,
+    )
+    monkeypatch.setenv("DBGTPU_RENUMBER", "1")
+    from dbgtpu.index.build import build_graph
+
+    g = build_graph(str(uf), 21)
+    idx = str(tmp_path / "ix.npz")
+    from dbgtpu.index.device import build_device_index
+
+    di = build_device_index(g)
+    assert di.id_inv is not None
+    save_index(g, idx, di)
+    monkeypatch.delenv("DBGTPU_RENUMBER")
+    g2 = load_index(idx)
+    assert g2._device_index.id_inv is not None
+    got_p, got_n, _ = run_pipeline(
+        [str(rf)], str(uf), k=21, m=2, effort=2, impl="jax",
+        batch_size=64, graph=g2,
+    )
+    assert got_p == want_p
+    assert got_n == want_n
