@@ -833,7 +833,10 @@ def pack_paths(res: dict, pmax: int):
     original take_along_axis formulation ran near-scalar on TPU and
     cost ~135 ms per 32k batch — 2/3 of the whole mapping step."""
     offset, llen, rlen = res["offset"], res["llen"], res["rlen"]
-    lbuf, rbuf = res["lbuf"], res["rbuf"]
+    # buffers may be int16 in the loop (see _run_walks); widen here —
+    # the int32 temp lives only inside this pack, not in the carry
+    lbuf = res["lbuf"].astype(jnp.int32)
+    rbuf = res["rbuf"].astype(jnp.int32)
     # the roll arithmetic below assumes one shared trailing width; a
     # caller with unequal buffers would silently corrupt packed paths
     assert lbuf.shape == rbuf.shape, (lbuf.shape, rbuf.shape)
@@ -1092,6 +1095,11 @@ def _run_walks(
     W2 = Lw                   # compare words (window w <= L bases)
     P = Lw * 16               # path buffer bound: >= read length, and
     #                           every junction step advances >= 1 base
+    # int16 path buffers when every signed id provably fits (U < 32768
+    # covers the survey workloads): halves the largest loop-carried
+    # arrays, easing HBM pressure toward bigger batches (VERDICT r3
+    # item 4)
+    pdt = jnp.int16 if ix.umeta.shape[0] <= 32767 else jnp.int32
 
     state = dict(
         phase=jnp.full((B,), _FETCH, jnp.int32),
@@ -1108,8 +1116,8 @@ def _run_walks(
         offset=jnp.zeros((B,), jnp.int32),
         llen=jnp.zeros((B,), jnp.int32),
         rlen=jnp.zeros((B,), jnp.int32),
-        lbuf=jnp.zeros((B, P), jnp.int32),
-        rbuf=jnp.zeros((B, P), jnp.int32),
+        lbuf=jnp.zeros((B, P), pdt),
+        rbuf=jnp.zeros((B, P), pdt),
         iters=jnp.zeros((), jnp.int32),
     )
 
@@ -1168,7 +1176,8 @@ def _run_walks(
         r0 = sel("r0")
         s["rlen"] = jnp.where(load, (r0 != 0).astype(jnp.int32), s["rlen"])
         s["rbuf"] = s["rbuf"].at[:, 0].set(
-            jnp.where(load & (r0 != 0), r0, s["rbuf"][:, 0])
+            jnp.where(load & (r0 != 0), r0.astype(s["rbuf"].dtype),
+                      s["rbuf"][:, 0])
         )
         s["offset"] = jnp.where(load, sel("off0"), s["offset"])
 
@@ -1193,8 +1202,6 @@ def _run_walks(
 
     def junction(s, env):
         lens, rwf, rwr, nmw = env["lens"], env["rwf"], env["rwr"], env["nmw"]
-        Bc = s["phase"].shape[0]
-        Bidx = jnp.arange(Bc, dtype=jnp.int32)
         phase = s["phase"]
         mL = phase == _LEFT
         mRF = phase == _RFIRST
@@ -1235,11 +1242,18 @@ def _run_walks(
         push_r = ok & (mRF | mRC)
         li = jnp.clip(s["llen"], 0, P - 1)
         ri = jnp.clip(s["rlen"], 0, P - 1)
-        s["lbuf"] = s["lbuf"].at[Bidx, li].set(
-            jnp.where(push_l, sid, s["lbuf"][Bidx, li])
+        sid_b = sid.astype(s["lbuf"].dtype)
+        # masked-where writes, not .at[Bidx, idx].set scatters: a
+        # per-row single-column scatter is gather-class (near-scalar)
+        # on TPU, while the iota-compare select is pure VPU over [B, P]
+        colP = jnp.arange(P, dtype=jnp.int32)[None, :]
+        s["lbuf"] = jnp.where(
+            (colP == li[:, None]) & push_l[:, None],
+            sid_b[:, None], s["lbuf"],
         )
-        s["rbuf"] = s["rbuf"].at[Bidx, ri].set(
-            jnp.where(push_r, sid, s["rbuf"][Bidx, ri])
+        s["rbuf"] = jnp.where(
+            (colP == ri[:, None]) & push_r[:, None],
+            sid_b[:, None], s["rbuf"],
         )
         s["llen"] = s["llen"] + push_l.astype(jnp.int32)
         s["rlen"] = s["rlen"] + push_r.astype(jnp.int32)

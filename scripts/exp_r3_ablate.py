@@ -139,8 +139,9 @@ def main():
 
         timed(f"ablate_{ab}", fab, inputs32)
 
-    # stage1_iters sweep
-    for s1 in ([] if os.environ.get("DBGTPU_ABLATE_ONLY") else (0, 4, 6, 8, 12)):
+    # stage1_iters sweep (opt-in: r3 already established 6)
+    for s1 in ((0, 4, 6, 8, 12)
+               if os.environ.get("DBGTPU_ABLATE_STAGE1") else []):
         def fs(c, nm, lens, _s1=s1):
             r = align_batch.__wrapped__(
                 ix, c, nm, lens, k=K, m=M, effort=EFFORT, pmax=PMAX,
