@@ -142,6 +142,11 @@ def align_bulk(
     shard_index: bool = False,   # shard the big index tables over the
     #                              mesh (1/D HBM per device; greedy only)
     progress=None,               # callable(done, total, aligned) or None
+    on_batch=None,               # callable(slot, s0, nb, status, counts,
+    #                              flat) fired per completed batch from
+    #                              the drain thread (serialized) — lets
+    #                              the caller format output incrementally
+    #                              behind later groups' transfers/compute
 ):
     """Bulk array alignment, input order preserved.
 
@@ -302,6 +307,8 @@ def align_bulk(
             status_all[s0 : s0 + nb] = status
             counts_all[s0 : s0 + nb] = counts
             flat_parts[slot] = flat
+            if on_batch is not None:
+                on_batch(slot, s0, nb, status, counts, flat)
             _note_progress(s0, nb)
 
     def _note_progress(s0, nb):
@@ -355,6 +362,8 @@ def align_bulk(
         cols = np.arange(paths.shape[1])[None, :]
         mask = aligned[:, None] & (cols < counts[:, None])
         flat_parts[slot] = paths[mask]
+        if on_batch is not None:
+            on_batch(slot, s0, nb, status, counts, flat_parts[slot])
         _note_progress(s0, nb)
 
     def drain_group(metas, fused_s, pmax):

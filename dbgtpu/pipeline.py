@@ -221,10 +221,46 @@ def _run_file_bulk(
         s, e = rec_range(parsed.n)
         parsed = parsed.slice_records(s, e)
     t = tick("parse", t)
+
+    # incremental per-batch formatting (native only): runs on the drain
+    # thread, so the output bytes of batch i are built while later
+    # groups are still transferring/computing — the format leg leaves
+    # the post-align critical path entirely
+    on_batch = None
+    parts_p: dict = {}
+    parts_n: dict = {}
+    if native.available():
+        def on_batch(slot, s0, nb, status_b, counts_b, flat_b):
+            po = np.zeros(nb + 1, np.int64)
+            np.cumsum(counts_b, out=po[1:])
+            ho = parsed.hdr_off[s0 : s0 + nb + 1]
+            if correction:
+                parts_p[slot] = native.format_corrected_native(
+                    parsed.headers, ho, status_b, po, flat_b,
+                    parsed.seq_off[s0 : s0 + nb + 1],
+                    graph.pool, graph.offsets, graph.lengths, graph.k,
+                )
+            else:
+                parts_p[slot] = native.format_paths_native(
+                    parsed.headers, ho, status_b, po, flat_b,
+                )
+            al = (status_b == STATUS_ALIGNED_FWD) | (
+                status_b == STATUS_ALIGNED_RC
+            )
+            if al.all():
+                parts_n[slot] = b""
+            else:
+                so = parsed.seq_off[s0 : s0 + nb + 1]
+                chars = _CHARS[parsed.codes[so[0] : so[-1]]].copy()
+                chars[parsed.nmask[so[0] : so[-1]]] = ord("N")
+                parts_n[slot] = native.format_notaligned_native(
+                    parsed.headers, ho, status_b, chars, so - so[0],
+                )
+
     status, path_off, flat = align_bulk(
         graph, parsed, m, effort, batch_size=batch_size, mode=mode,
         partial=partial, mesh=mesh, index_layout=index_layout,
-        shard_index=shard_index, progress=progress,
+        shard_index=shard_index, progress=progress, on_batch=on_batch,
     )
     t = tick("align", t)
     if stats.index_hbm is None:
@@ -232,11 +268,19 @@ def _run_file_bulk(
 
         stats.index_hbm = hbm_report(get_device_index(graph, index_layout))
     aligned = _count_stats(stats, status)
-    pb, nab = _format_outputs(
-        graph, parsed, status, path_off, flat, correction, aligned
-    )
-    paths_out.append(pb)
-    na_out.append(nab)
+    if on_batch is not None:
+        paths_out.append(b"".join(
+            parts_p[i] for i in sorted(parts_p)
+        ))
+        na_out.append(b"".join(
+            parts_n[i] for i in sorted(parts_n)
+        ))
+    else:
+        pb, nab = _format_outputs(
+            graph, parsed, status, path_off, flat, correction, aligned
+        )
+        paths_out.append(pb)
+        na_out.append(nab)
     tick("format", t)
 
 

@@ -196,6 +196,14 @@ def main():
         run_config("noprobe_scan", "scan", 0)
     if want("mphf_probe3"):
         run_config("mphf_probe3", "mphf", _dm.PROBE_TABLE_MAX_BYTES)
+    if want("probe3_renum"):
+        # BFS graph-order unitig ids (walk-gather locality experiment);
+        # byte parity is guaranteed by the drain-side id translation
+        os.environ["DBGTPU_RENUMBER"] = "1"
+        try:
+            run_config("probe3_renum", "scan", _dm.PROBE_TABLE_MAX_BYTES)
+        finally:
+            os.environ.pop("DBGTPU_RENUMBER", None)
     if di is None:
         di = build_device_index(g, layout="scan")
 
