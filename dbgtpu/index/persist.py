@@ -82,15 +82,29 @@ def save_index(g: UnitigGraph, path: str, di: DeviceIndex | None = None) -> None
     np.savez(path, **d)
 
 
-def load_index(path: str) -> UnitigGraph:
+def load_index(path: str, stream_device: bool | None = None) -> UnitigGraph:
     """Load a persisted index; returns the graph with its device index
-    attached (`graph._device_index`) when the file carries one (v2)."""
+    attached (`graph._device_index`) when the file carries one (v2).
+
+    stream_device (default: on, disable with DBGTPU_STREAM_LOAD=0):
+    start each big artifact's H2D as soon as its bytes leave the npz —
+    npz members read lazily per key, so the disk read of artifact i+1
+    overlaps the (async) device upload of artifact i, instead of the
+    former read-everything-then-upload-everything serialization that
+    made a 1M-unitig persisted start pay ~8 s load + ~22 s H2D back to
+    back.  The probe table (the largest artifact) is deliberately
+    ordered LAST so the runner's eager start can begin mapping on the
+    probe-less program while it is still in flight."""
     z = np.load(path, allow_pickle=False)
     magic = str(z["magic"])
     if magic == _MAGIC_V1:
         return _load_v1(z)
     if magic != _MAGIC_V2:
         raise ValueError(f"{path}: not a dbgtpu index file")
+    import os
+
+    if stream_device is None:
+        stream_device = os.environ.get("DBGTPU_STREAM_LOAD", "1") != "0"
     g = UnitigGraph(
         k=int(z["k"]), n_unitigs=int(z["n_unitigs"]),
         pool=z["pool"], offsets=z["offsets"], lengths=z["lengths"],
@@ -114,19 +128,47 @@ def load_index(path: str) -> UnitigGraph:
     if stale:
         return g
 
+    jnp = None
+    if stream_device:
+        try:
+            import jax.numpy as jnp
+        except Exception:  # pragma: no cover - jax is a hard dep
+            jnp = None
+
+    def up(arr):
+        """Async device upload of an artifact the moment it is read."""
+        return jnp.asarray(arr) if jnp is not None else None
+
+    # artifacts in ascending-size order, probe rows last (see docstring)
+    umeta = z["d_umeta"]
+    d_umeta = up(umeta)
     st = None
+    d_st_fused = None
     if "st_keys" in z:
         st = ScanTable(z["st_keys"], z["st_vals"],
                        int(z["st_nb"]), int(z["st_seed"]))
-    pt = None
-    if "pt_rows" in z:
-        pt = ProbeTable(z["pt_rows"], int(z["pt_nb"]),
-                        int(z["pt_seed"]), int(z["pt_window"]))
+        if jnp is not None:
+            from ..engine.core import _fuse_scan_table
+
+            d_st_fused = jnp.asarray(_fuse_scan_table(st))
     at = None
+    d_at_fused = None
     if "at_keys" in z:
         at = ScanTable(z["at_keys"], z["at_vals"],
                        int(z["at_nb"]), int(z["at_seed"]))
-    g._device_index = DeviceIndex(
+        if jnp is not None:
+            from ..engine.core import _fuse_scan_table
+
+            d_at_fused = jnp.asarray(_fuse_scan_table(at))
+    pool_rows = z["d_pool_rows"]
+    d_pool_rows = up(pool_rows)
+    pt = None
+    d_pt_rows = None
+    if "pt_rows" in z:
+        pt = ProbeTable(z["pt_rows"], int(z["pt_nb"]),
+                        int(z["pt_seed"]), int(z["pt_window"]))
+        d_pt_rows = up(pt.rows)
+    di = DeviceIndex(
         k=g.k, pool=g.pool, pool_words=z["d_pool_words"],
         uoff=z["d_uoff"], ulen=z["d_ulen"],
         ubeg_hi=z["d_ubeg_hi"], ubeg_lo=z["d_ubeg_lo"],
@@ -135,11 +177,33 @@ def load_index(path: str) -> UnitigGraph:
         rcend_hi=z["d_rcend_hi"], rcend_lo=z["d_rcend_lo"],
         max_ulen=int(z["d_max_ulen"]),
         anchor_scan=at, scan_tbl=st,
-        umeta=z["d_umeta"], pool_rows=z["d_pool_rows"],
+        umeta=umeta, pool_rows=pool_rows,
         n_chunks=int(z["d_n_chunks"]), halo_bases=int(z["d_halo"]),
         probe_tbl=pt, mphf_junction=None,
         id_inv=(z["d_id_inv"] if "d_id_inv" in z else None),
     )
+    if jnp is not None:
+        # pre-seed the index_to_device memo with the in-flight uploads
+        from ..engine.core import IndexArrays
+
+        di._ix_arrays = IndexArrays(
+            st_fused=(d_st_fused if d_st_fused is not None
+                      else jnp.zeros((0, 320), jnp.uint32)),
+            st_seed=jnp.uint32(st.seed if st is not None else 0),
+            umeta=d_umeta,
+            pool_rows=d_pool_rows,
+            n_chunks=jnp.int32(di.n_chunks),
+            pt_rows=(d_pt_rows if d_pt_rows is not None
+                     else jnp.zeros((0, 32), jnp.uint32)),
+            pt_seed=jnp.uint32(pt.seed if pt is not None else 0),
+            at_fused=(d_at_fused if d_at_fused is not None
+                      else jnp.zeros((0, 160), jnp.uint32)),
+            at_seed=jnp.uint32(at.seed if at is not None else 0),
+            mph_rows=jnp.zeros((0, 5), jnp.uint32),
+            mph_jrows=jnp.zeros((0, 10), jnp.uint32),
+            mph_f=jnp.zeros((0, 12), jnp.uint32),
+        )
+    g._device_index = di
     return g
 
 

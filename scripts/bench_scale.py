@@ -114,12 +114,13 @@ def main():
 
     summary = []
 
-    def run_config(name, layout, cap):
+    def run_config(name, layout, cap, graph=None):
+        gg = g if graph is None else graph
         old = device_mod.PROBE_TABLE_MAX_BYTES
         device_mod.PROBE_TABLE_MAX_BYTES = cap
         try:
             t0 = time.monotonic()
-            di = build_device_index(g, layout=layout)
+            di = build_device_index(gg, layout=layout)
             t_build = time.monotonic() - t0
         finally:
             device_mod.PROBE_TABLE_MAX_BYTES = old
@@ -176,8 +177,8 @@ def main():
         if hasattr(di, "_ix_arrays"):
             del di._ix_arrays
         for attr in ("_device_index", f"_device_index_{layout}"):
-            if hasattr(g, attr):
-                delattr(g, attr)
+            if hasattr(gg, attr):
+                delattr(gg, attr)
         return di
 
     import dbgtpu.index.device as _dm
@@ -204,6 +205,27 @@ def main():
             run_config("probe3_renum", "scan", _dm.PROBE_TABLE_MAX_BYTES)
         finally:
             os.environ.pop("DBGTPU_RENUMBER", None)
+    if want("shuf_probe3") or want("shuf_renum"):
+        # the renumbering question on its REAL input: unitig files from
+        # assemblers are not genome-ordered, so shuffle the file order
+        # and ask whether BFS renumbering recovers the locality that
+        # genome order gave for free (argv-selected configs only)
+        if only:
+            rng = np.random.default_rng(77)
+            perm = rng.permutation(len(unitigs))
+            g_shuf = build_graph_from_seqs(
+                [unitigs[i] for i in perm], K
+            )
+            if want("shuf_probe3"):
+                run_config("shuf_probe3", "scan",
+                           _dm.PROBE_TABLE_MAX_BYTES, graph=g_shuf)
+            if want("shuf_renum"):
+                os.environ["DBGTPU_RENUMBER"] = "1"
+                try:
+                    run_config("shuf_renum", "scan",
+                               _dm.PROBE_TABLE_MAX_BYTES, graph=g_shuf)
+                finally:
+                    os.environ.pop("DBGTPU_RENUMBER", None)
     if di is None:
         di = build_device_index(g, layout="scan")
 
