@@ -302,11 +302,15 @@ def build_probe_table(
     emission lands on an existing key; tests/test_probe.py checks the
     result against a direct per-key query oracle.
 
-    `window` is normally auto-selected: 4 when the projected rows fit
-    PROBE_TABLE_MAX_BYTES, else 3 (the succ²-free keyset is ~4x
-    smaller), else None.  The projection happens BEFORE the expansion
-    arrays are materialized, so the byte cap also bounds host peak
-    memory (closure dedupe is ~0-3% on real graphs, so the estimate
+    `window` is normally auto-selected: 3 by default — measured (two
+    sessions, 30k and 1M graphs) to match window 4's full-step device
+    speed (the extra probes are offset by the ~5x smaller table's
+    higher row-gather rate) while costing ~5x less HBM, H2D and build
+    time; window 4 opts in via DBGTPU_PROBE_WINDOW=4 (then the byte
+    cap can still downgrade to 3), and any window downgrades to None
+    past the cap.  The projection happens BEFORE the expansion arrays
+    are materialized, so the byte cap also bounds host peak memory
+    (closure dedupe is ~0-3% on real graphs, so the estimate
     nk ≈ |S| + {20,4}·|S±| is tight)."""
     S = np.sort(np.asarray(s_keys, np.uint64))
     n = len(S)
@@ -329,7 +333,9 @@ def build_probe_table(
         return nb_est * width * 4
 
     if window is None:
-        if proj_bytes(n + 20 * p, 4 * PT_SLOTS) <= PROBE_TABLE_MAX_BYTES:
+        prefer4 = os.environ.get("DBGTPU_PROBE_WINDOW") == "4"
+        if (prefer4 and proj_bytes(n + 20 * p, 4 * PT_SLOTS)
+                <= PROBE_TABLE_MAX_BYTES):
             window = 4
         elif proj_bytes(n + 4 * p, 3 * PT_SLOTS) <= PROBE_TABLE_MAX_BYTES:
             window = 3

@@ -192,7 +192,11 @@ def main():
     if want("probe3_scan"):
         di = run_config("probe3_scan", "scan", _dm.PROBE_TABLE_MAX_BYTES)
     if want("probe4_scan"):
-        run_config("probe4_scan", "scan", 4 << 30)
+        os.environ["DBGTPU_PROBE_WINDOW"] = "4"
+        try:
+            run_config("probe4_scan", "scan", 4 << 30)
+        finally:
+            os.environ.pop("DBGTPU_PROBE_WINDOW", None)
     if want("noprobe_scan"):
         run_config("noprobe_scan", "scan", 0)
     if want("mphf_probe3"):

@@ -102,22 +102,25 @@ def main():
         rec(**row)
         return med
 
-    def build(window_cap):
+    def build(window_cap, w4=False):
         old = dm.PROBE_TABLE_MAX_BYTES
         dm.PROBE_TABLE_MAX_BYTES = window_cap
+        if w4:
+            os.environ["DBGTPU_PROBE_WINDOW"] = "4"
         try:
             di = dm.build_device_index(g)
         finally:
             dm.PROBE_TABLE_MAX_BYTES = old
+            os.environ.pop("DBGTPU_PROBE_WINDOW", None)
         return di
 
     variants = [
-        ("w4", 1 << 30),
-        ("w3", 30_000_000),
-        ("noprobe", 0),
+        ("w4", 1 << 30, True),
+        ("w3", 30_000_000, False),
+        ("noprobe", 0, False),
     ]
-    for name, cap in variants:
-        di = build(cap)
+    for name, cap, w4 in variants:
+        di = build(cap, w4)
         ix = index_to_device(di)
         jax.block_until_ready(ix)
         pmax = min(_pmax_for(di, L), PMAX_CAP)

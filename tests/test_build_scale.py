@@ -53,8 +53,11 @@ def test_build_200k_unitigs_fast():
 
 
 def test_build_200k_window3_downgrade(monkeypatch):
+    """DBGTPU_PROBE_WINDOW=4 opts into the wider closure, but the byte
+    cap still downgrades it to window 3 when the w4 keyset won't fit."""
     unitigs = _unitigs(200_000, 19)
     g = build_graph_from_seqs(unitigs, 31)
+    monkeypatch.setenv("DBGTPU_PROBE_WINDOW", "4")
     monkeypatch.setattr(
         device_mod, "PROBE_TABLE_MAX_BYTES", 256 << 20
     )
