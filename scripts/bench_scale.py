@@ -1,17 +1,23 @@
 """Large-graph mapping benchmark (VERDICT r2 item 4): ~1M unitigs.
 
-Measures, in ONE process (axon warmup amortized):
+Measures, in ONE process (axon warmup amortized, all configs on the
+same session so rates are comparable):
   - index build + H2D time per config,
-  - steady-state packed mapping throughput at 131k reads,
+  - steady-state packed mapping throughput at 131k reads (whole
+    workload in ONE dispatch per rep, scalar fetch),
   - per-artifact HBM bytes (hbm_report),
-for three configs:
-  probe3    — default: auto window-3 closure probe table at this scale
-  noprobe   — probe table disabled (per-position scan fallback)
-  mphf      — compact MPHF junction layout + the same probe table
+for configs selected by argv (default: the first five):
+  probe3_scan  — default window-3 closure probe table
+  probe4_scan  — window-4 probe (DBGTPU_PROBE_WINDOW=4, 4 GB cap)
+  noprobe_scan — probe table disabled (per-position scan fallback)
+  mphf_probe3  — compact MPHF junction layout + the same probe table
+  probe3_renum — BFS graph-order unitig renumbering
+  shuf_probe3 / shuf_renum — argv-only: shuffled unitig file order,
+    with and without renumbering (the locality question on its real
+    input)
 
-plus the persisted-index load path: save_index -> load_index ->
-first-batch, which must be O(file read) (VERDICT item 3 done-bar:
-load -> first batch at 1M unitigs < 5 s host-side + transfer).
+plus the persisted-index load path: save_index -> streaming
+load_index -> first-batch.
 
 Writes JSON lines to /tmp/r3_scale.jsonl and prints a summary table.
 """
