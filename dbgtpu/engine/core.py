@@ -876,7 +876,7 @@ def align_batch(
     effort: int,
     max_iters: int = 0,
     pmax: int = 0,
-    stage1_iters: int = 6,
+    stage1_iters: int = 4,
     ablate: str = "all",  # profiling hook: "scan" stops after the
     #                       anchor scan (status := anchor counts);
     #                       capped loops are expressed via max_iters
@@ -1428,7 +1428,7 @@ def align_batch_packed(
     effort: int = 2,
     L: int,
     pmax: int,
-    stage1_iters: int = 6,
+    stage1_iters: int = 4,
     jl_meta=None,
     partial: bool = False,
     out_dtype: str = "auto",   # "auto" = int16 when values fit; "int32"
@@ -1502,7 +1502,7 @@ def align_batches_packed(
     effort: int = 2,
     L: int,
     pmax: int,
-    stage1_iters: int = 6,
+    stage1_iters: int = 4,
     jl_meta=None,
     partial: bool = False,
     out_dtype: str = "auto",

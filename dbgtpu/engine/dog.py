@@ -152,7 +152,7 @@ def align_batch_anchors(
     effort: int,
     max_iters: int = 0,
     pmax: int = 0,
-    stage1_iters: int = 6,
+    stage1_iters: int = 4,
     jl_meta=None,
 ):
     """Align a batch in dog/anchor mode.  Same result dict as

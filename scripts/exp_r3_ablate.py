@@ -94,22 +94,27 @@ def main():
     floors = {}
 
     def timed(label, body_fn, inputs, extra=None):
-        """body_fn(c [B, L], nm, lens) -> scalar; runs lax.map over the
-        stacked batches in ONE dispatch per rep."""
+        """body_fn(ix, c [B, L], nm, lens) -> scalar; runs lax.map over
+        the stacked batches in ONE dispatch per rep.  `ix` travels as a
+        jit ARGUMENT — a closure-captured index becomes an HLO constant
+        and the multi-hundred-MB proto blows the remote compile
+        endpoint's request limit at 1M unitigs."""
         cs, nm, lens = inputs
         nb = cs.shape[0]
 
         @jax.jit
-        def whole(cs, nm, lens):
-            return jnp.sum(jax.lax.map(lambda c: body_fn(c, nm, lens), cs))
+        def whole(ix, cs, nm, lens):
+            return jnp.sum(
+                jax.lax.map(lambda c: body_fn(ix, c, nm, lens), cs)
+            )
 
         t0 = time.monotonic()
-        np.asarray(whole(cs, nm, lens))
+        np.asarray(whole(ix, cs, nm, lens))
         warm = time.monotonic() - t0
         ts = []
         for _ in range(4):
             t0 = time.monotonic()
-            out = np.asarray(whole(cs, nm, lens))
+            out = np.asarray(whole(ix, cs, nm, lens))
             ts.append(time.monotonic() - t0)
         med = sorted(ts)[len(ts) // 2]
         per_batch = med / nb * 1e3
@@ -128,7 +133,7 @@ def main():
     inputs32 = make_inputs(32768)
 
     for ab in ("null", "images", "kmers", "member", "scan", "all"):
-        def fab(c, nm, lens, _ab=ab):
+        def fab(ix, c, nm, lens, _ab=ab):
             r = align_batch.__wrapped__(
                 ix, c, nm, lens, k=K, m=M, effort=EFFORT, pmax=PMAX,
                 ablate=_ab,
@@ -142,7 +147,7 @@ def main():
     # stage1_iters sweep (opt-in: r3 already established 6)
     for s1 in ((0, 4, 6, 8, 12)
                if os.environ.get("DBGTPU_ABLATE_STAGE1") else []):
-        def fs(c, nm, lens, _s1=s1):
+        def fs(ix, c, nm, lens, _s1=s1):
             r = align_batch.__wrapped__(
                 ix, c, nm, lens, k=K, m=M, effort=EFFORT, pmax=PMAX,
                 stage1_iters=_s1,
@@ -152,11 +157,12 @@ def main():
         timed(f"stage1_{s1}", fs, inputs32)
 
     # batch-size scaling
-    for B in ([] if os.environ.get('DBGTPU_ABLATE_ONLY') else (65536, 131072)):
+    for B in ([] if os.environ.get('DBGTPU_ABLATE_ONLY')
+              else (8192, 16384, 65536, 131072)):
         try:
             inp = make_inputs(B)
 
-            def fb(c, nm, lens):
+            def fb(ix, c, nm, lens):
                 r = align_batch.__wrapped__(
                     ix, c, nm, lens, k=K, m=M, effort=EFFORT, pmax=PMAX,
                 )
