@@ -825,6 +825,16 @@ def build_device_index(
         0 < max_ulen <= EMBED_CAP_BASES
         and U1 * (16 + 2 * sw) * 4 <= EMBED_CAP_BYTES
     )
+    if embed:
+        # row-width cliff (measured, scripts/exp_r4_gather.py): on
+        # ~1M-row tables XLA's row gather runs ~22M rows/s below
+        # 256-byte rows and ~94M rows/s at >= 256 bytes (a different
+        # emitter takes over), and the candidate-meta gather is the
+        # single largest walk cost on big graphs — pad the seq word
+        # columns until the row reaches 64 int32 cols.  The pad columns
+        # are zeros past each unitig's length, which the engine's
+        # window masks never count.
+        sw = max(sw, 24)
     umeta = np.zeros((U1, 16 + (2 * sw if embed else 0)), np.int32)
     for c, a in enumerate(
         (uoff, ulen, ubeg_hi, ubeg_lo, uend_hi, uend_lo,
