@@ -640,7 +640,16 @@ def build_mphf_junction(keys: np.ndarray, vals: np.ndarray) -> MphfJunction:
 
     keys = np.asarray(keys, np.uint64)
     vals = np.asarray(vals, np.int32)
-    m = build_mphf(keys, gamma=2.0)
+    # gamma mirrors the reference's gammaFactor=10 (aligner.h:94) but
+    # is a TPU latency knob here, not just a build-speed one: the
+    # device lookup pays one row gather per LEVEL for every query
+    # (unrolled, no early exit), so a short fat cascade beats a long
+    # lean one.  gamma=16 with the cascade capped at 3 levels resolves
+    # all but ~1k of 2M keys (the exact final table catches the tail)
+    # at ~22 bits/key — ~5.6 MB next to the 80 MB jrows slot table it
+    # indexes, for 5 gathers/lookup instead of 13+ at the former
+    # space-lean gamma=2
+    m = build_mphf(keys, gamma=16.0, max_levels=3)
     slots = m.lookup(keys)
     hi, lo = split64(keys)
     jrows = np.zeros((len(keys), 10), np.uint32)

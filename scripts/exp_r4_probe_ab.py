@@ -14,7 +14,6 @@ Writes /tmp/r4_probe_ab.jsonl.
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys
