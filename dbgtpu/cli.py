@@ -126,6 +126,13 @@ def main(argv: list[str] | None = None) -> int:
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     args = make_parser().parse_args(argv)
+    if args.progress:
+        # --progress also surfaces the index-build phase log (the
+        # reference's BooPHF progress bar analogue) on stderr
+        import logging
+
+        logging.basicConfig(stream=sys.stderr)
+        logging.getLogger("dbgtpu").setLevel(logging.INFO)
     from .pipeline import run_pipeline
 
     if args.merge_shards:

@@ -783,13 +783,27 @@ def build_device_index(
         ubeg_src, uend_src = g.ubeg[inv], g.uend[inv]
         uoff_src, ulen_src = g.offsets[inv], g.lengths[inv]
 
+    import time as _time
+
+    # index-build phase log (the reference's BooPHF prints a build
+    # progress/ETA bar, BooPHF.h:51-202; a 1M-unitig build here runs
+    # ~50 s) — surfaced when the caller enables INFO logging, which the
+    # CLI ties to --progress
+    t0 = _time.monotonic()
     mphf_junction = None
     if layout == "mphf":
         scan_tbl = None
         mphf_junction = build_mphf_junction(keys, vals)
     else:
         scan_tbl = build_scan_table(keys, vals)
+    _log.info("index build: junction table (%d keys) %.1fs",
+              len(keys), _time.monotonic() - t0)
+    t0 = _time.monotonic()
     probe_tbl = build_probe_table(keys, k1)
+    _log.info("index build: closure probe table %s %.1fs",
+              f"(window {probe_tbl.window})" if probe_tbl else "(skipped)",
+              _time.monotonic() - t0)
+    t0 = _time.monotonic()
 
     rcbeg = rcb(ubeg_src, k1)
     rcend = rcb(uend_src, k1)
@@ -886,6 +900,8 @@ def build_device_index(
         fwd_rows = build_pool_rows(pool_words, len(g.pool), halo)
         rc_rows = build_pool_rows(pack_words(rc_pool), len(g.pool), halo)
 
+    _log.info("index build: unitig metadata/pool rows %.1fs "
+              "(embed=%s)", _time.monotonic() - t0, embed)
     return DeviceIndex(
         k=g.k,
         pool=g.pool,
