@@ -34,11 +34,18 @@ _ALIGNED = (STATUS_ALIGNED_FWD, STATUS_ALIGNED_RC)
 _log = logging.getLogger("dbgtpu.runner")
 
 # capped device-side path-slot bound (offset + signed ids).  The
-# worst-case bound (_pmax_for) can reach ~2*L when the graph holds one
+# worst-case bound (_pmax_for) can reach ~L when the graph holds one
 # very short unitig, which made the padded result D2H 30 MB/batch; real
 # paths are ~2-10 slots.  Rows whose true plen exceeds the cap are
-# recomputed on host (exact, rare).
+# recomputed on host (exact, rare).  The effective cap scales with the
+# read length (max(PMAX_CAP, L/4), see _pmax_cap) so long-read batches
+# keep their exact bound instead of degrading into mass host
+# recomputes — only stride~1 pathological graphs ever hit the cap.
 PMAX_CAP = int(os.environ.get("DBGTPU_PMAX_CAP", 30))
+
+
+def _pmax_cap(L: int) -> int:
+    return max(PMAX_CAP, L // 4)
 
 # batches fused into one device dispatch (tunnel round-trips per read
 # drop by this factor; the group is one lax.map program).  2 keeps
@@ -427,7 +434,7 @@ def align_bulk(
             nb = min(batch_size, N - s0)
             lens = lens_all[s0 : s0 + nb]
             L = _bucket_len(int(lens.max(initial=k + 1)), k)
-            pmax = min(_pmax_for(di, L), PMAX_CAP)
+            pmax = min(_pmax_for(di, L), _pmax_cap(L))
             if use_native_pack:
                 words, nmbits, blens = native.pack_batch_native(
                     parsed, s0, nb, batch_size, L

@@ -212,3 +212,29 @@ def test_renumbered_index_byte_identical(tmp_path, monkeypatch):
     assert got_p == want_p
     assert got_n == want_n
     assert got_s.aligned == want_s.aligned
+
+
+@pytest.mark.slow
+def test_engine_long_reads_parity(tmp_path):
+    """500 bp reads: the L=512 bucket path with the length-scaled pmax
+    cap (runner._pmax_cap) must stay byte-identical to the spec —
+    formerly these batches hit the static 30-slot cap and fell back to
+    per-read host recomputes for most aligned reads."""
+    from dbgtpu.pipeline import run_pipeline
+
+    from .synth import make_dataset
+
+    reads_fa, unitigs_fa = make_dataset(
+        seed=515, genome_len=40000, k=31, n_reads=120, err_frac=0.3,
+        read_len=500,
+    )
+    rf = tmp_path / "r.fa"
+    uf = tmp_path / "u.fa"
+    rf.write_bytes(reads_fa)
+    uf.write_bytes(unitigs_fa)
+    want = run_pipeline([str(rf)], str(uf), k=31, m=2, effort=2,
+                        impl="python")
+    got = run_pipeline([str(rf)], str(uf), k=31, m=2, effort=2,
+                       impl="jax", batch_size=64)
+    assert got[0] == want[0]
+    assert got[1] == want[1]
