@@ -55,9 +55,12 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", dest="paths_mode", action="store_true",
                    help="simple-path mode (reachable here, unlike the "
                         "reference whose -p flag has no handler)")
-    p.add_argument("--impl", choices=["python", "jax"], default="python",
-                   help="alignment engine (jax once the device engine "
-                        "lands; python = executable spec)")
+    p.add_argument("--impl", choices=["auto", "python", "jax"],
+                   default="auto",
+                   help="alignment engine: auto (default) = the batched "
+                        "device engine whenever a non-CPU JAX backend "
+                        "is present, executable python spec otherwise; "
+                        "jax/python force one")
     p.add_argument("--batch-size", type=int, default=32768,
                    help="reads per device batch (32768 measured best "
                         "for the pipelined jax runner)")
@@ -125,7 +128,16 @@ def main(argv: list[str] | None = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    args = make_parser().parse_args(argv)
+    parser = make_parser()
+    args = parser.parse_args(argv)
+    if args.load_index is None and not 2 <= args.k <= 32:
+        # fail loudly instead of silently corrupting: k > 32 overflows
+        # the 64-bit kmer representation (the reference shares the cap,
+        # utils.h:27-28, but does not enforce it either)
+        parser.error(
+            f"-k {args.k} is out of range: supported k is 2..32 "
+            "(kmers are 64-bit, as in the reference)"
+        )
     if args.progress:
         # --progress also surfaces the index-build phase log (the
         # reference's BooPHF progress bar analogue) on stderr
@@ -155,6 +167,15 @@ def main(argv: list[str] | None = None) -> int:
 
         graph = load_graph(args.load_index)
         args.k = graph.k
+
+    if args.impl == "auto":
+        # the drop-in bgreat command line must run the real engine on
+        # real hardware (the reference's default invocation runs its
+        # real engine, bgreat.cpp:112-115); the python spec remains the
+        # CPU-only fallback and an explicit choice
+        import jax
+
+        args.impl = "jax" if jax.default_backend() != "cpu" else "python"
 
     reads_files = args.reads.split(",")
     mode = (

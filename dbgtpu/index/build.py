@@ -135,7 +135,21 @@ def parse_unitig_lines(path: str, k: int) -> List[bytes]:
     return seqs
 
 
+def validate_k(k: int) -> None:
+    """k must fit the 64-bit kmer representation (reference cap:
+    `kmer`=uint64, utils.h:27-28).  dbgtpu's (hi, lo) u32-pair kmers
+    share the cap; without this check a k > 32 silently overflows the
+    uint64 shifts in the extremity extraction below and produces wrong
+    output instead of an error."""
+    if not isinstance(k, int) or not 2 <= k <= 32:
+        raise ValueError(
+            f"k={k} is out of range: dbgtpu (like the reference, whose "
+            "kmer type is uint64) supports 2 <= k <= 32"
+        )
+
+
 def build_graph(path: str, k: int, dog_mode: bool = False) -> UnitigGraph:
+    validate_k(k)
     seqs = parse_unitig_lines(path, k)
     return build_graph_from_seqs(seqs, k, dog_mode)
 
@@ -144,6 +158,7 @@ def build_graph_from_seqs(seqs: List[bytes], k: int, dog_mode: bool = False) -> 
     """Vectorized bulk construction (one numpy pass over the joined
     pool; no per-unitig numpy calls — multi-million-unitig graphs build
     in seconds on host)."""
+    validate_k(k)
     k1 = k - 1
     n = len(seqs)
     raw = np.frombuffer(b"".join(seqs), dtype=np.uint8)

@@ -166,7 +166,9 @@ def build_scan_table(keys: np.ndarray, vals: np.ndarray) -> ScanTable:
     # the build; only >S_ keys sharing BOTH full 32-bit bucket hashes
     # under both seeds (astronomically unlikely for unique <=62-bit
     # keys) can still fail
-    row_bytes = (2 * S_ + 4 * V) * 4
+    # true device cost per bucket: tkeys row of 2*S_ uint32 plus S_
+    # slots x V int32 vals (the fused [nb, 2*S_ + S_*V] rows)
+    row_bytes = (2 * S_ + S_ * V) * 4
     cap = max(
         int(os.environ.get("DBGTPU_SCAN_TABLE_MAX_BYTES", 16 << 30)),
         nb0 * row_bytes * 4,
@@ -844,11 +846,7 @@ def build_device_index(
     # the mapping loop) disappears.  Only when every unitig fits (engine
     # trusts seq columns to cover max_ulen) and the table stays small.
     sw = (max_ulen + 15) // 16 + 1 if max_ulen else 0
-    embed = (
-        0 < max_ulen <= EMBED_CAP_BASES
-        and U1 * (16 + 2 * sw) * 4 <= EMBED_CAP_BYTES
-    )
-    if embed:
+    if sw:
         # row-width cliff (measured, scripts/exp_r4_gather.py): on
         # ~1M-row tables XLA's row gather runs ~22M rows/s below
         # 256-byte rows and ~94M rows/s at >= 256 bytes (a different
@@ -858,6 +856,13 @@ def build_device_index(
         # are zeros past each unitig's length, which the engine's
         # window masks never count.
         sw = max(sw, 24)
+    # the byte cap is evaluated with the PADDED width: on many-unitig /
+    # short-unitig graphs the pad dominates the row, and checking the
+    # unpadded width would admit tables ~3.5x over EMBED_CAP_BYTES
+    embed = (
+        0 < max_ulen <= EMBED_CAP_BASES
+        and U1 * (16 + 2 * sw) * 4 <= EMBED_CAP_BYTES
+    )
     umeta = np.zeros((U1, 16 + (2 * sw if embed else 0)), np.int32)
     for c, a in enumerate(
         (uoff, ulen, ubeg_hi, ubeg_lo, uend_hi, uend_lo,

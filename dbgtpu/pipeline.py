@@ -178,20 +178,38 @@ def make_progress_printer(every_batches: int):
     import sys
 
     t0 = time.monotonic()
-    seen = {"n": 0}
+    # `done`/`total`/`aligned` reset on every align_bulk call (one call
+    # per file / per resumable segment) while t0 spans the whole run;
+    # callers mark call boundaries via progress.segment() so the line
+    # reports cumulative counts against the cumulative elapsed time
+    # instead of a per-segment count that collapses reads/s toward zero
+    seen = {"n": 0, "done": 0, "total": 0, "aligned": 0,
+            "prev": (0, 0, 0)}
+
+    def segment():
+        d, t, a = seen["prev"]
+        seen["done"] += d
+        seen["total"] += t
+        seen["aligned"] += a
+        seen["prev"] = (0, 0, 0)
 
     def progress(done, total, aligned):
         seen["n"] += 1
+        seen["prev"] = (done, total, aligned)
         if seen["n"] % every_batches and done < total:
             return
+        d = seen["done"] + done
+        t = seen["total"] + total
+        a = seen["aligned"] + aligned
         dt = max(time.monotonic() - t0, 1e-9)
-        pct = 100.0 * aligned / max(done, 1)
+        pct = 100.0 * a / max(d, 1)
         print(
-            f"[progress] reads {done}/{total} | aligned {aligned} "
-            f"({pct:.1f}%) | {done / dt:,.0f} reads/s",
+            f"[progress] reads {d}/{t} | aligned {a} "
+            f"({pct:.1f}%) | {d / dt:,.0f} reads/s",
             file=sys.stderr, flush=True,
         )
 
+    progress.segment = segment
     return progress
 
 
@@ -399,6 +417,8 @@ def run_pipeline(
         index_to_device(get_device_index(graph, index_layout))
         progress = make_progress_printer(progress_every)
         for rf in reads_files:
+            if progress is not None:
+                progress.segment()
             _run_file_bulk(
                 graph, rf, m, effort, fastq, correction, batch_size,
                 stats, paths_out, na_out, mode=mode, partial=partial,
@@ -447,11 +467,16 @@ def run_pipeline(
 
 
 def _journal_fingerprint(reads_files, unitig_file, k, m, effort, mode,
-                         fastq, correction) -> str:
+                         fastq, correction, partial) -> str:
+    """Every OUTPUT-AFFECTING parameter must be in this blob: --resume's
+    correctness rests on the fingerprint rejecting a resume whose
+    records would be computed differently from the journaled ones
+    (e.g. a run killed without -i and resumed with -i would silently
+    mix partial and non-partial alignments)."""
     import hashlib
 
     blob = repr((list(reads_files), unitig_file, k, m, effort, mode,
-                 bool(fastq), bool(correction))).encode()
+                 bool(fastq), bool(correction), bool(partial))).encode()
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
@@ -511,7 +536,8 @@ def run_pipeline_resumable(
 
     journal_file = paths_file + ".resume.json"
     fp = _journal_fingerprint(
-        reads_files, unitig_file, k, m, effort, mode, fastq, correction
+        reads_files, unitig_file, k, m, effort, mode, fastq, correction,
+        partial,
     )
     state = {
         "version": 1, "fingerprint": fp, "file_idx": 0, "record_off": 0,
@@ -561,6 +587,8 @@ def run_pipeline_resumable(
             for s0 in range(start, parsed_all.n, segment_records):
                 e0 = min(s0 + segment_records, parsed_all.n)
                 parsed = parsed_all.slice_records(s0, e0)
+                if progress is not None:
+                    progress.segment()
                 status, path_off, flat = align_bulk(
                     graph, parsed, m, effort, batch_size=batch_size,
                     mode=mode, partial=partial, mesh=mesh,
