@@ -112,9 +112,11 @@ def main() -> int:
     t0 = time.monotonic()
     np.asarray(d)
     d2h = time.monotonic() - t0
+    h2d_mbps = 4 / max(h2d, 1e-9)
+    d2h_mbps = 4 / max(d2h, 1e-9)
     log(f"tunnel probe (4 MB): H2D {h2d * 1e3:.0f} ms "
-        f"({4 / max(h2d, 1e-9):.0f} MB/s), D2H {d2h * 1e3:.0f} ms "
-        f"({4 / max(d2h, 1e-9):.0f} MB/s)")
+        f"({h2d_mbps:.0f} MB/s), D2H {d2h * 1e3:.0f} ms "
+        f"({d2h_mbps:.0f} MB/s)")
 
     t0 = time.monotonic()
     unitigs, codes_all = build_workload()
@@ -142,14 +144,18 @@ def main() -> int:
     # device-resident batches in the SAME packed shape the pipeline
     # runner produces, so every leg shares one compiled program
     from dbgtpu.engine.runner import (
-        PMAX_CAP, _bucket_len, _pmax_for, pack_words_batch,
+        PMAX_CAP, PMAX_INIT, _bucket_len, _pmax_for, _quantize_pmax,
+        pack_words_batch,
     )
 
     L = _bucket_len(READ_LEN, K)
-    PMAX = min(_pmax_for(di, L), PMAX_CAP)
+    # the production runner's adaptive steady-state width (measured
+    # survey paths are <= 6 slots, so the quantized init of 8 holds);
+    # the static bound shipped 2.7x the bytes for identical output
+    PMAX = min(_pmax_for(di, L), PMAX_CAP, _quantize_pmax(PMAX_INIT))
     pad = np.zeros((BATCH, L - codes_all.shape[1]), np.uint8)
     nm = np.zeros((BATCH, L), bool)
-    lens_np = np.full(BATCH, READ_LEN, np.int32)
+    lens_np = np.full(BATCH, READ_LEN, np.int16)
     batches = []
     for i in range(N_BATCHES):
         words, nmbits = pack_words_batch(
@@ -157,6 +163,8 @@ def main() -> int:
                 [codes_all[i * BATCH : (i + 1) * BATCH], pad], axis=1
             ), nm,
         )
+        # N-free batches drop the mask payload, as the runner does
+        nmbits = np.zeros((BATCH, 0), np.uint32)
         batches.append((
             jax.device_put(words, dev), jax.device_put(nmbits, dev),
         ))
@@ -348,6 +356,7 @@ def main() -> int:
             # ones (the steady-state loop above stays at BATCH, where
             # per-dispatch overhead is what matters)
             warm_rates = []
+            warm_info = []
             for label, graph in (
                 ("cold", None),
                 ("warm", g), ("warm", g), ("warm", g),
@@ -361,13 +370,38 @@ def main() -> int:
                 rate = n_reads / dt
                 if label == "warm":
                     warm_rates.append(rate)
+                    warm_info.append(
+                        (rate, dt, st.payload_h2d_bytes,
+                         st.payload_d2h_bytes)
+                    )
                 else:
                     e2e[label] = rate
                 log(f"end-to-end ({label}): {dt:.1f}s for {n_reads} "
                     f"reads -> {rate:,.0f} reads/s "
-                    f"({len(paths)} path bytes, {st.aligned} aligned)")
+                    f"({len(paths)} path bytes, {st.aligned} aligned, "
+                    f"payload H2D {st.payload_h2d_bytes >> 20} MB / "
+                    f"D2H {st.payload_d2h_bytes >> 20} MB)")
             # median of 3 warm runs: per-run tunnel bandwidth swings 2x
-            e2e["warm"] = sorted(warm_rates)[len(warm_rates) // 2]
+            warm_info.sort()
+            rate_m, dt_m, ph2d, pd2h = warm_info[len(warm_info) // 2]
+            e2e["warm"] = rate_m
+            e2e["payload_h2d"] = ph2d
+            e2e["payload_d2h"] = pd2h
+            # bandwidth-normalized projection (VERDICT r4 item 1b): the
+            # warm number is hostage to this session's tunnel bandwidth;
+            # replace the measured transfer time with what the same
+            # payload costs at a reference 30 MB/s so a slow session
+            # cannot mask a payload regression (or hide a cut).  On a
+            # PCIe-attached host (~10+ GB/s) transfer time ~vanishes.
+            t_xfer_meas = (ph2d / (h2d_mbps * 1e6)
+                           + pd2h / (d2h_mbps * 1e6))
+            t_other = max(dt_m - t_xfer_meas, 0.05)
+            t_ref = (ph2d + pd2h) / (30 * 1e6)
+            e2e["warm_proj_30"] = n_reads / (t_other + t_ref)
+            log(f"warm projection at 30 MB/s tunnel: "
+                f"{e2e['warm_proj_30']:,.0f} reads/s (measured xfer "
+                f"{t_xfer_meas:.2f}s of {dt_m:.2f}s wall at "
+                f"H2D {h2d_mbps:.0f}/D2H {d2h_mbps:.0f} MB/s)")
 
             # persisted-index start: load a v2 npz (device-ready, no
             # rebuild) in a fresh graph object, then map — the
@@ -404,10 +438,17 @@ def main() -> int:
     if device_step_ms is not None:
         out["device_step_ms"] = round(device_step_ms, 2)
         out["compute_reads_per_sec"] = round(compute_rps, 1)
+    out["tunnel_h2d_mbps"] = round(h2d_mbps, 1)
+    out["tunnel_d2h_mbps"] = round(d2h_mbps, 1)
     if "warm" in e2e:
         out["end_to_end_reads_per_sec"] = round(e2e["warm"], 1)
         out["end_to_end_vs_baseline"] = round(
             e2e["warm"] / BASELINE_READS_PER_S, 2
+        )
+        out["payload_bytes_h2d"] = int(e2e["payload_h2d"])
+        out["payload_bytes_d2h"] = int(e2e["payload_d2h"])
+        out["end_to_end_projected_30mbps"] = round(
+            e2e["warm_proj_30"], 1
         )
     if "cold" in e2e:
         out["end_to_end_cold_reads_per_sec"] = round(e2e["cold"], 1)

@@ -47,6 +47,29 @@ PMAX_CAP = int(os.environ.get("DBGTPU_PMAX_CAP", 30))
 def _pmax_cap(L: int) -> int:
     return max(PMAX_CAP, L // 4)
 
+
+# Adaptive result width (the D2H diet, VERDICT r4 item 1): the static
+# bound above is 30+ on any graph with one short unitig, but MEASURED
+# paths on the survey workload are 2-6 slots — so the padded fused
+# result shipped 64 B/read where ~12 carry information, and the warm
+# end-to-end pipeline is D2H-bound on the measurement tunnel.  Batches
+# therefore dispatch with a small starting cap; a batch whose true
+# plens exceed the cap is re-dispatched ONCE to the device at the full
+# bound (exact, device-speed — not the per-row host spec) and the cap
+# ratchets up (quantized to limit program recompiles) for the rest of
+# the run.  The per-row host-spec net remains for rows beyond the full
+# bound.
+PMAX_INIT = int(os.environ.get("DBGTPU_PMAX_INIT", 8))
+# overflow rows tolerated on the slow per-row host net before the
+# whole batch is re-dispatched to the device at the full bound instead
+OVER_REDISPATCH_MIN = 8
+
+
+def _quantize_pmax(p: int) -> int:
+    """Round the adaptive cap up to a multiple of 4 (each distinct pmax
+    is a separate XLA program; quantizing bounds the compile count)."""
+    return ((max(p, 4) + 3) // 4) * 4
+
 # batches fused into one device dispatch (tunnel round-trips per read
 # drop by this factor; the group is one lax.map program).  2 keeps
 # groups pipelining against each other (H2D/compute/D2H of successive
@@ -154,6 +177,8 @@ def align_bulk(
     #                              the drain thread (serialized) — lets
     #                              the caller format output incrementally
     #                              behind later groups' transfers/compute
+    xfer=None,                   # dict: filled with h2d/d2h payload
+    #                              byte counts (bench/observability)
 ):
     """Bulk array alignment, input order preserved.
 
@@ -269,6 +294,15 @@ def align_bulk(
     flat_parts: list = []     # per-batch flat path rows, filled by slot
     prog = {"done": 0, "aligned": 0}
     consec = {"n": 0}         # consecutive batch-level recoveries
+    if xfer is None:
+        xfer = {}
+    xfer.setdefault("h2d_bytes", 0)
+    xfer.setdefault("d2h_bytes", 0)
+    # adaptive result-width cap (see PMAX_INIT): ratchets up when a
+    # batch's true plens overflow it; read by the main thread at pack
+    # time, written by the drain thread (benign race — a stale read
+    # only delays the ratchet by one group)
+    pm = {"cap": _quantize_pmax(PMAX_INIT)}
 
     def spec_batch(s0, nb):
         """Host-spec recovery for one batch (SURVEY §5 failure
@@ -326,14 +360,48 @@ def align_bulk(
         if progress is not None:
             progress(prog["done"], N, prog["aligned"])
 
-    def drain_rows(out, s0, nb, pmax, slot):
+    def _ratchet(max_plen: int):
+        pm["cap"] = max(pm["cap"], _quantize_pmax(max_plen + 2))
+
+    def drain_rows(out, s0, nb, pmax, slot, L, pmax_full,
+                   allow_redispatch=True):
         """Unpack one batch's [B, 2+pmax] host rows into the result
         arrays (runs on the drain thread; disjoint row ranges)."""
         status = out[:nb, 0].astype(np.int32)
         plen = out[:nb, 1].astype(np.int32)
-        paths = out[:nb, 2:].astype(np.int32)
         aligned = (status == 1) | (status == 2)
         over = aligned & (plen > pmax)
+        n_over = int(over.sum())
+        if n_over:
+            _ratchet(int(plen[over].max()))
+        if (allow_redispatch and n_over > OVER_REDISPATCH_MIN
+                and pmax < pmax_full):
+            # the adaptive cap undershot this batch en masse: re-run
+            # the WHOLE batch on device at the full bound (exact, and
+            # ~1000x faster than the per-row host spec); the ratchet
+            # above keeps later batches from repeating this
+            try:
+                words, nmbits, blens = pack_one(s0, nb, L)
+                fused = group_fn(
+                    ix, (words,), (nmbits,), (blens,),
+                    L=L, pmax=pmax_full,
+                )
+                out2 = np.asarray(fused)[0]
+                xfer["h2d_bytes"] += (
+                    words.nbytes + nmbits.nbytes + blens.nbytes
+                )
+                xfer["d2h_bytes"] += out2.nbytes
+                return drain_rows(
+                    out2, s0, nb, pmax_full, slot, L, pmax_full,
+                    allow_redispatch=False,
+                )
+            except Exception as e:
+                _log.warning(
+                    "overflow redispatch failed (%s: %s); recovering "
+                    "the %d overflow rows on the host spec",
+                    type(e).__name__, e, n_over,
+                )
+        paths = out[:nb, 2:].astype(np.int32)
         counts = np.where(aligned, np.minimum(plen, pmax), 0)
         inv = di.id_inv
         if inv is not None:
@@ -373,16 +441,17 @@ def align_bulk(
             on_batch(slot, s0, nb, status, counts, flat_parts[slot])
         _note_progress(s0, nb)
 
-    def drain_group(metas, fused_s, pmax):
+    def drain_group(metas, fused_s, pmax, L, pmax_full):
         try:
             out_s = np.asarray(fused_s)
         except Exception as e:
             # device result lost (e.g. dropped tunnel session)
             recover_batches(metas, "result fetch", e)
             return
+        xfer["d2h_bytes"] += out_s.nbytes
         consec["n"] = 0
         for g, (s0, nb, slot) in enumerate(metas):
-            drain_rows(out_s[g], s0, nb, pmax, slot)
+            drain_rows(out_s[g], s0, nb, pmax, slot, L, pmax_full)
 
     # Drain on a single worker thread: np.asarray's device wait
     # releases the GIL, so result D2H + host unpack of group i overlap
@@ -399,11 +468,40 @@ def align_bulk(
     pend: list = []           # packed batches awaiting group dispatch
     pend_key = None           # (L, pmax) shared by the pending batches
 
+    def pack_one(s0, nb, L):
+        """Pack records [s0, s0+nb) into the H2D arrays (numpy)."""
+        if use_native_pack:
+            words, nmbits, blens = native.pack_batch_native(
+                parsed, s0, nb, batch_size, L
+            )
+        else:
+            lens = lens_all[s0 : s0 + nb]
+            starts = parsed.seq_off[s0 : s0 + nb]
+            col = np.arange(L, dtype=np.int64)[None, :]
+            gidx = starts[:, None] + np.minimum(
+                col, (lens - 1)[:, None]
+            )
+            valid = col < lens[:, None]
+            codes = np.zeros((batch_size, L), np.uint8)
+            nmask = np.zeros((batch_size, L), bool)
+            codes[:nb] = np.where(valid, parsed.codes[gidx], 0)
+            nmask[:nb] = parsed.nmask[gidx] & valid
+            blens = np.zeros(batch_size, np.int32)
+            blens[:nb] = lens
+            words, nmbits = pack_words_batch(codes, nmask)
+        if not nmbits.any():
+            # provably N-free batch: drop the mask payload (~1/3
+            # of the per-batch H2D; the engine's has-N work folds)
+            nmbits = np.zeros((batch_size, 0), np.uint32)
+        # read lengths always fit int16 (L <= 32767); halves that leg
+        return words, nmbits, blens.astype(np.int16)
+
     def flush_group(pool):
         nonlocal pend
         if not pend:
             return
         L, pmax, _lb = pend_key
+        pmax_full = min(_pmax_for(di, L), _pmax_cap(L))
         metas = [(p["s0"], p["nb"], p["slot"]) for p in pend]
         words_t = tuple(p["words"] for p in pend)
         nmbits_t = tuple(p["nmbits"] for p in pend)
@@ -425,7 +523,9 @@ def align_bulk(
             fused_s.copy_to_host_async()  # start D2H behind later work
         except AttributeError:
             pass                          # no async copy: still fine
-        futures.append(pool.submit(drain_group, metas, fused_s, pmax))
+        futures.append(pool.submit(
+            drain_group, metas, fused_s, pmax, L, pmax_full
+        ))
 
     import jax as _jax
 
@@ -434,29 +534,11 @@ def align_bulk(
             nb = min(batch_size, N - s0)
             lens = lens_all[s0 : s0 + nb]
             L = _bucket_len(int(lens.max(initial=k + 1)), k)
-            pmax = min(_pmax_for(di, L), _pmax_cap(L))
-            if use_native_pack:
-                words, nmbits, blens = native.pack_batch_native(
-                    parsed, s0, nb, batch_size, L
-                )
-            else:
-                starts = parsed.seq_off[s0 : s0 + nb]
-                col = np.arange(L, dtype=np.int64)[None, :]
-                gidx = starts[:, None] + np.minimum(
-                    col, (lens - 1)[:, None]
-                )
-                valid = col < lens[:, None]
-                codes = np.zeros((batch_size, L), np.uint8)
-                nmask = np.zeros((batch_size, L), bool)
-                codes[:nb] = np.where(valid, parsed.codes[gidx], 0)
-                nmask[:nb] = parsed.nmask[gidx] & valid
-                blens = np.zeros(batch_size, np.int32)
-                blens[:nb] = lens
-                words, nmbits = pack_words_batch(codes, nmask)
-            if not nmbits.any():
-                # provably N-free batch: drop the mask payload (~1/3
-                # of the per-batch H2D; the engine's has-N work folds)
-                nmbits = np.zeros((batch_size, 0), np.uint32)
+            pmax = min(_pmax_for(di, L), _pmax_cap(L), pm["cap"])
+            words, nmbits, blens = pack_one(s0, nb, L)
+            xfer["h2d_bytes"] += (
+                words.nbytes + nmbits.nbytes + blens.nbytes
+            )
             key = (L, pmax, nmbits.shape[1])
             if pend and (key != pend_key or len(pend) >= group_n):
                 flush_group(pool)

@@ -816,10 +816,8 @@ def build_device_index(
 
     anchor_scan = None
     if g.dog_mode and g.anchors:
-        akeys = np.fromiter(
-            g.anchors.keys(), np.uint64, count=len(g.anchors)
-        )
-        av = np.array(list(g.anchors.values()), np.int64)  # [n, 2]
+        akeys = g.anchors.keys                     # uint64 [n], sorted
+        av = g.anchors.vals.astype(np.int64)       # [n, 2]
         # the unitig k-mer at each anchored offset, vectorized from the
         # pool; ucanon = (it equals the canonical key)
         pos = g.offsets[av[:, 0]] + av[:, 1]

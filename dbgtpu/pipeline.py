@@ -34,6 +34,12 @@ class RunStats:
     index_seconds: float = 0.0
     map_seconds: float = 0.0
     index_hbm: dict | None = None     # per-artifact device-index bytes
+    # per-run host<->device payload (read batches up, fused results
+    # down; excludes the one-time index upload) — makes transfer-bound
+    # runs legible: e2e reads/s on a tunneled chip is a function of
+    # these bytes and the session's bandwidth
+    payload_h2d_bytes: int = 0
+    payload_d2h_bytes: int = 0
 
     def summary(self) -> str:
         """Same shape as the reference's end-of-run block
@@ -71,6 +77,9 @@ class RunStats:
             ),
             **({"index_hbm_bytes": self.index_hbm}
                if self.index_hbm else {}),
+            **({"payload_h2d_bytes": self.payload_h2d_bytes,
+                "payload_d2h_bytes": self.payload_d2h_bytes}
+               if self.payload_h2d_bytes else {}),
         }
 
 
@@ -275,11 +284,15 @@ def _run_file_bulk(
                     parsed.headers, ho, status_b, chars, so - so[0],
                 )
 
+    xfer: dict = {}
     status, path_off, flat = align_bulk(
         graph, parsed, m, effort, batch_size=batch_size, mode=mode,
         partial=partial, mesh=mesh, index_layout=index_layout,
         shard_index=shard_index, progress=progress, on_batch=on_batch,
+        xfer=xfer,
     )
+    stats.payload_h2d_bytes += xfer.get("h2d_bytes", 0)
+    stats.payload_d2h_bytes += xfer.get("d2h_bytes", 0)
     t = tick("align", t)
     if stats.index_hbm is None:
         from .index.device import hbm_report
@@ -378,8 +391,9 @@ def run_pipeline(
         from .index.persist import save_index as _save_index
 
         # v2: persists the device-ready layout too, so --load-index
-        # starts mapping in O(file read) with no rebuild
-        _save_index(graph, save_index)
+        # starts mapping in O(file read) with no rebuild; honors
+        # --index-layout so the mphf junction artifacts persist
+        _save_index(graph, save_index, layout=index_layout)
     stats.index_seconds = time.monotonic() - t0
 
     paths_out: list[bytes] = []

