@@ -1483,6 +1483,77 @@ def align_batch_packed(
     return out
 
 
+def _compact_result(fused, pmax: int):
+    """[B, 2+pmax] fused rows -> (meta [B, 2], flat [B*pmax]) where
+    `flat`'s LEADING sum(counts) entries carry every real path slot and
+    the tail is zeros — so the host can fetch just the prefix.
+
+    Layout: rows are ordered by counts DESCENDING (stable by row index;
+    the sort key is unique so any correct sort reproduces it on host),
+    then slot columns are packed back to back, each truncated to its
+    populated prefix n_j = #rows with count > j (a prefix exactly
+    because counts are sorted).  Column placement at the data-dependent
+    offsets is a sum of dynamic rolls — pure VPU work; a scatter
+    formulation would run near-scalar on TPU.
+
+    Motivation (VERDICT r4 item 1): ~27% of rows are not aligned and
+    aligned paths average ~3.3 of pmax slots, so the padded fused
+    result ships ~3x the information bytes; on the tunnel-attached
+    measurement host the warm end-to-end is D2H-bound."""
+    B = fused.shape[0]
+    status = fused[:, 0].astype(jnp.int32)
+    plen = fused[:, 1].astype(jnp.int32)
+    aligned = (status == 1) | (status == 2)
+    counts = jnp.where(aligned, jnp.minimum(plen, pmax), 0)
+    iota = jnp.arange(B, dtype=jnp.int32)
+    order = jnp.argsort((jnp.int32(pmax) - counts) * B + iota)
+    sp = fused[:, 2:][order]                    # [B, pmax], counts desc
+    n_j = [jnp.sum(counts > j) for j in range(pmax)]
+    flat = jnp.zeros(B * pmax, fused.dtype)
+    off = jnp.int32(0)
+    zpad = jnp.zeros(B * (pmax - 1), fused.dtype)
+    for j in range(pmax):
+        col = jnp.where(iota < n_j[j], sp[:, j], 0)
+        flat = flat + jnp.roll(jnp.concatenate([col, zpad]), off)
+        off = off + n_j[j]
+    return fused[:, :2], flat
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mode", "k", "m", "effort", "L", "pmax", "stage1_iters",
+        "jl_meta", "partial", "out_dtype", "shard_axis",
+    ),
+)
+def align_batches_packed_compact(
+    ix: IndexArrays,
+    words_t, nmbits_t, lens_t,
+    *,
+    mode: str = "greedy",
+    k: int, m: int, effort: int = 2, L: int, pmax: int,
+    stage1_iters: int = 4, jl_meta=None, partial: bool = False,
+    out_dtype: str = "auto", shard_axis=None,
+):
+    """align_batches_packed with the compact-D2H result transform:
+    returns (meta [G, B, 2], flat [G, B*pmax]); the runner fetches meta
+    plus only the populated prefix of flat (see _compact_result)."""
+    words_s = jnp.stack(list(words_t))
+    nmbits_s = jnp.stack(list(nmbits_t))
+    lens_s = jnp.stack(list(lens_t))
+
+    def body(args):
+        w, nb, ln = args
+        fused = align_batch_packed.__wrapped__(
+            ix, w, nb, ln, mode=mode, k=k, m=m, effort=effort, L=L,
+            pmax=pmax, stage1_iters=stage1_iters, jl_meta=jl_meta,
+            partial=partial, out_dtype=out_dtype, shard_axis=shard_axis,
+        )
+        return _compact_result(fused, pmax)
+
+    return jax.lax.map(body, (words_s, nmbits_s, lens_s))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

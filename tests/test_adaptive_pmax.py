@@ -61,3 +61,22 @@ def test_ratchet_quantization():
     q = runner_mod._quantize_pmax
     assert q(1) == 4 and q(4) == 4 and q(5) == 8 and q(8) == 8
     assert q(9) == 12 and q(30) == 32
+
+
+def test_compact_d2h_matches_padded(tmp_path, monkeypatch):
+    """The compact-D2H result transform (sorted column prefixes + host
+    reconstruction) must be byte-identical to the padded path."""
+    reads_fa, unitigs_fa = make_dataset(
+        seed=909, genome_len=9000, k=21, n_reads=400, err_frac=0.5,
+        n_frac=0.05,
+    )
+    monkeypatch.setenv("DBGTPU_COMPACT_D2H", "0")
+    want = _run(tmp_path, reads_fa, unitigs_fa, 21, impl="jax",
+                batch_size=2048)
+    monkeypatch.setenv("DBGTPU_COMPACT_D2H", "1")
+    got = _run(tmp_path, reads_fa, unitigs_fa, 21, impl="jax",
+               batch_size=2048)
+    assert got[0] == want[0]
+    assert got[1] == want[1]
+    # compact run must ship fewer result bytes
+    assert got[2].payload_d2h_bytes < want[2].payload_d2h_bytes

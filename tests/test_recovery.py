@@ -34,7 +34,7 @@ def test_dispatch_failure_recovers_byte_identical(tmp_path, monkeypatch):
         [rf], uf, k=21, m=2, effort=2, impl="jax", batch_size=128,
     )
 
-    real = runner_mod.align_batches_packed
+    real = runner_mod.align_batches_packed_compact
     calls = {"n": 0}
 
     def flaky(*a, **kw):
@@ -43,7 +43,7 @@ def test_dispatch_failure_recovers_byte_identical(tmp_path, monkeypatch):
             raise RuntimeError("injected device failure")
         return real(*a, **kw)
 
-    monkeypatch.setattr(runner_mod, "align_batches_packed", flaky)
+    monkeypatch.setattr(runner_mod, "align_batches_packed_compact", flaky)
     got_p, got_n, got_s = run_pipeline(
         [rf], uf, k=21, m=2, effort=2, impl="jax", batch_size=128,
     )
@@ -60,7 +60,7 @@ def test_result_fetch_failure_recovers(tmp_path, monkeypatch):
         [rf], uf, k=21, m=2, effort=2, impl="jax", batch_size=128,
     )
 
-    real = runner_mod.align_batches_packed
+    real = runner_mod.align_batches_packed_compact
     calls = {"n": 0}
 
     class _Poison:
@@ -75,10 +75,10 @@ def test_result_fetch_failure_recovers(tmp_path, monkeypatch):
     def flaky(*a, **kw):
         calls["n"] += 1
         if calls["n"] == 1:
-            return _Poison()
+            return _Poison(), _Poison()
         return real(*a, **kw)
 
-    monkeypatch.setattr(runner_mod, "align_batches_packed", flaky)
+    monkeypatch.setattr(runner_mod, "align_batches_packed_compact", flaky)
     got_p, got_n, _ = run_pipeline(
         [rf], uf, k=21, m=2, effort=2, impl="jax", batch_size=128,
     )
@@ -97,7 +97,8 @@ def test_persistent_failure_fails_fast(tmp_path, monkeypatch):
     def always_fail(*a, **kw):
         raise RuntimeError("persistent device fault")
 
-    monkeypatch.setattr(runner_mod, "align_batches_packed", always_fail)
+    monkeypatch.setattr(runner_mod, "align_batches_packed_compact",
+                        always_fail)
     with pytest.raises(RuntimeError, match="consecutive batch-level"):
         run_pipeline(
             [rf], uf, k=21, m=2, effort=2, impl="jax", batch_size=64,
