@@ -75,6 +75,14 @@ def _quantize_pmax(p: int) -> int:
     is a separate XLA program; quantizing bounds the compile count)."""
     return ((max(p, 4) + 3) // 4) * 4
 
+
+def _pre_len(s: int, B: int, pmax: int) -> int:
+    """Quantized compact-flat prefix length for `s` populated slots:
+    the quantum scales with the array so there are at most ~8 distinct
+    slice programs regardless of batch geometry."""
+    q = max(4096, (B * pmax) // 8)
+    return min(-(-s // q) * q, B * pmax)
+
 # batches fused into one device dispatch (tunnel round-trips per read
 # drop by this factor; the group is one lax.map program).  2 keeps
 # groups pipelining against each other (H2D/compute/D2H of successive
@@ -321,6 +329,11 @@ def align_bulk(
     # time, written by the drain thread (benign race — a stale read
     # only delays the ratchet by one group)
     pm = {"cap": _quantize_pmax(PMAX_INIT)}
+    # running max of populated slots per batch: sizes the SPECULATIVE
+    # flat-prefix fetch (compact D2H) that is queued at dispatch time,
+    # so the meta fetch and the slot fetch ride the tunnel back to
+    # back instead of paying two serialized latency floors per group
+    est = {"smax": 0}
 
     def spec_batch(s0, nb):
         """Host-spec recovery for one batch (SURVEY §5 failure
@@ -471,13 +484,16 @@ def align_bulk(
         for g, (s0, nb, slot) in enumerate(metas):
             drain_rows(out_s[g], s0, nb, pmax, slot, L, pmax_full)
 
-    def drain_group_compact(metas, meta_s, flat_s, pmax, L, pmax_full):
+    def drain_group_compact(metas, meta_s, flat_s, spec_pre, pmax, L,
+                            pmax_full):
         """Compact-D2H drain: fetch the [G, B, 2] meta block, compute
         the populated flat-prefix length from it, fetch only that
-        prefix of the [G, B*pmax] slot array, and reconstruct the
-        padded rows on host (cheap numpy) for the shared drain_rows.
-        The prefix length is rounded up to 64k elements so the slice
-        program compiles a handful of times, not per distinct size."""
+        prefix of the [G, B*pmax] slot array (served from the
+        speculative in-flight fetch when it covers), and reconstruct
+        the padded rows on host (cheap numpy) for the shared
+        drain_rows.  The prefix length is rounded up in coarse quanta
+        so the slice program compiles a handful of times, not per
+        distinct size."""
         try:
             meta = np.asarray(meta_s)          # [G, B, 2]
         except Exception as e:
@@ -490,14 +506,16 @@ def align_bulk(
         aligned = (status == 1) | (status == 2)
         counts = np.where(aligned, np.minimum(plen, pmax), 0)
         S = counts.sum(axis=1)                 # populated slots / batch
+        est["smax"] = max(est["smax"], int(S.max(initial=0)))
         pre = None
         if int(S.max(initial=0)):
-            # quantum scales with the array so there are at most ~8
-            # distinct slice programs regardless of batch geometry
-            q = max(4096, (B * pmax) // 8)
-            Sr = min(-(-int(S.max()) // q) * q, B * pmax)
+            Sr = _pre_len(int(S.max()), B, pmax)
             try:
-                pre = np.asarray(flat_s[:, :Sr])
+                if (spec_pre is not None
+                        and spec_pre.shape[1] >= int(S.max())):
+                    pre = np.asarray(spec_pre)   # already in flight
+                else:
+                    pre = np.asarray(flat_s[:, :Sr])
             except Exception as e:
                 recover_batches(metas, "result fetch", e)
                 return
@@ -585,17 +603,32 @@ def align_bulk(
                 meta_s, flat_s = compact_group_fn(
                     use_ix, words_t, nmbits_t, blens_t, L=L, pmax=pmax
                 )
+                spec_pre = None
+                if est["smax"]:
+                    # speculative prefix fetch sized by the running
+                    # max (+12% slack): queued now, so its transfer
+                    # pipelines right behind the meta block's
+                    B_ = batch_size
+                    sl = _pre_len(
+                        int(est["smax"] * 1.12) + 256, B_, pmax
+                    )
+                    if sl < B_ * pmax:
+                        spec_pre = flat_s[:, :sl]
+                    else:
+                        spec_pre = flat_s
             except Exception as e:
                 futures.append(pool.submit(recover_batches, metas,
                                            "dispatch", e))
                 return
             try:
                 meta_s.copy_to_host_async()
+                if spec_pre is not None:
+                    spec_pre.copy_to_host_async()
             except AttributeError:
                 pass
             futures.append(pool.submit(
-                drain_group_compact, metas, meta_s, flat_s, pmax, L,
-                pmax_full,
+                drain_group_compact, metas, meta_s, flat_s, spec_pre,
+                pmax, L, pmax_full,
             ))
             return
         try:
