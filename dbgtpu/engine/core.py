@@ -344,7 +344,7 @@ def _junction_vals(ix: IndexArrays, jl_meta, qhi, qlo, shard_axis=None):
     (each device holds nb/D rows; bucket ids here are GLOBAL, computed
     against the global bucket count)."""
     if jl_meta is None:
-        from ..index.device import ST_SLOTS as S_
+        S_ = ix.st_fused.shape[1] // 10   # slots/bucket (geometry-free)
 
         if shard_axis is not None:
             D = jax.lax.axis_size(shard_axis)
@@ -376,7 +376,7 @@ def _junction_vals(ix: IndexArrays, jl_meta, qhi, qlo, shard_axis=None):
 def _st_member(ix: IndexArrays, qhi, qlo, jl_meta=None, shard_axis=None):
     """Junction keyset membership (scan or MPHF layout)."""
     if jl_meta is None:
-        from ..index.device import ST_SLOTS as S_
+        S_ = ix.st_fused.shape[1] // 10   # slots/bucket (geometry-free)
 
         if shard_axis is not None:
             D = jax.lax.axis_size(shard_axis)
@@ -876,7 +876,7 @@ def align_batch(
     effort: int,
     max_iters: int = 0,
     pmax: int = 0,
-    stage1_iters: int = 4,
+    stage1_iters: int = 3,
     ablate: str = "all",  # profiling hook: "scan" stops after the
     #                       anchor scan (status := anchor counts);
     #                       capped loops are expressed via max_iters
@@ -1428,7 +1428,7 @@ def align_batch_packed(
     effort: int = 2,
     L: int,
     pmax: int,
-    stage1_iters: int = 4,
+    stage1_iters: int = 3,
     jl_meta=None,
     partial: bool = False,
     out_dtype: str = "auto",   # "auto" = int16 when values fit; "int32"
@@ -1532,7 +1532,7 @@ def align_batches_packed_compact(
     *,
     mode: str = "greedy",
     k: int, m: int, effort: int = 2, L: int, pmax: int,
-    stage1_iters: int = 4, jl_meta=None, partial: bool = False,
+    stage1_iters: int = 3, jl_meta=None, partial: bool = False,
     out_dtype: str = "auto", shard_axis=None,
 ):
     """align_batches_packed with the compact-D2H result transform:
@@ -1573,7 +1573,7 @@ def align_batches_packed(
     effort: int = 2,
     L: int,
     pmax: int,
-    stage1_iters: int = 4,
+    stage1_iters: int = 3,
     jl_meta=None,
     partial: bool = False,
     out_dtype: str = "auto",

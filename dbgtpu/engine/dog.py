@@ -60,7 +60,7 @@ def _anchor_lookup(ix: IndexArrays, chi, clo):
     """Canonical k-mer -> (member, uid, upos, ucanon), one fused row
     gather per query (S=ST_SLOTS slot keys cols 0:2S, S slots x 3 vals
     cols 2S:5S)."""
-    from ..index.device import ST_SLOTS as S_
+    S_ = ix.at_fused.shape[1] // 5    # slots/bucket (2 key + 3 val cols)
 
     nba = ix.at_fused.shape[0]
     b = (mix32(chi ^ ix.at_seed, clo) & jnp.uint32(nba - 1)).astype(
@@ -152,7 +152,7 @@ def align_batch_anchors(
     effort: int,
     max_iters: int = 0,
     pmax: int = 0,
-    stage1_iters: int = 4,
+    stage1_iters: int = 3,
     jl_meta=None,
 ):
     """Align a batch in dog/anchor mode.  Same result dict as

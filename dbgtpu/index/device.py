@@ -113,8 +113,12 @@ def ht_find_host(tbl: HashTable, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     return res
 
 
-ST_SLOTS = 32              # scan-table slots per bucket row
-ST_TARGET_LOAD = 12        # keys per bucket the sizing aims for
+# scan-table slots per bucket row (env-tunable for geometry A/Bs: the
+# fused row is (2 + 8) * ST_SLOTS uint32 = 1280 B at 32 slots, 320 B at
+# 8; the engine derives the slot count from the row width, so persisted
+# tables built under one geometry load under any)
+ST_SLOTS = int(os.environ.get("DBGTPU_ST_SLOTS", 32))
+ST_TARGET_LOAD = max(2, (ST_SLOTS * 3) // 8)  # keys/bucket sizing aim
 
 
 @dataclass
@@ -142,8 +146,14 @@ class ScanTable:
     seed: int             # uint32 hash seed
 
     @property
+    def slots(self) -> int:
+        """Slots per bucket, derived from the stored geometry (a table
+        persisted under one DBGTPU_ST_SLOTS loads under any)."""
+        return self.keys.shape[1] // 2
+
+    @property
     def size(self) -> int:
-        return self.n_buckets * ST_SLOTS
+        return self.n_buckets * self.slots
 
 
 def _scan_hash(hi, lo, seed):
@@ -254,8 +264,15 @@ class ProbeTable:
     window: int = 4
 
 
-PT_SLOTS = 32              # probe-table slots per bucket row
-PT_TARGET_LOAD = 12        # keys per bucket the sizing aims for
+# probe-table slots per bucket row (env-tunable for A/Bs).  Measured
+# r5 (same-session pair, scripts/exp_r5_member.py pair): fewer slots
+# would cut the member stage's slot-compare VPU work, but the max-
+# bucket<=S build constraint then blows the bucket count up (12 MB ->
+# 48 MB at 8 slots on the survey keyset) and the bigger table slows
+# the gather half more than the compare half saves — 32 dense slots
+# win (member 6.5 ms vs 10.6 ms).
+PT_SLOTS = int(os.environ.get("DBGTPU_PT_SLOTS", 32))
+PT_TARGET_LOAD = max(2, (PT_SLOTS * 3) // 8)  # keys/bucket sizing aim
 
 
 # skip the probe table when its device rows would exceed this budget
@@ -504,9 +521,9 @@ def pt_member_host(pt: ProbeTable, hi, lo) -> np.ndarray:
 
 
 def st_find_host(tbl: ScanTable, hi, lo) -> np.ndarray:
-    """Numpy mirror of the device lookup: flat slot (bucket*ST_SLOTS +
+    """Numpy mirror of the device lookup: flat slot (bucket*slots +
     s) per query, or -1."""
-    S_ = ST_SLOTS
+    S_ = tbl.slots
     hi = np.asarray(hi, np.uint32)
     lo = np.asarray(lo, np.uint32)
     b = (_scan_hash(hi, lo, np.uint32(tbl.seed))

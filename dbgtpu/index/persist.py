@@ -135,17 +135,17 @@ def load_index(path: str, stream_device: bool | None = None) -> UnitigGraph:
         jkeys=z["jkeys"], jvals=z["jvals"],
     )
     _load_anchors(g, z)
-    from .device import PT_SLOTS, ST_SLOTS
+    from .device import PT_SLOTS
 
-    # slot-layout guard: a file written under an older bucket geometry
-    # must not feed mis-shaped rows to the device; drop the device
-    # tables and let the first use rebuild them from the (always valid)
-    # slot table — correct for every mode, just a slower first start
+    # probe-layout guard: a file written under an older probe bucket
+    # geometry must not feed mis-shaped rows to the device; drop the
+    # device tables and let the first use rebuild them from the (always
+    # valid) slot table — correct for every mode, just a slower first
+    # start.  Scan/anchor tables need no guard: the engine derives
+    # their slot geometry from the stored row width.
     stale = (
-        ("st_keys" in z and z["st_keys"].shape[1] != 2 * ST_SLOTS)
-        or ("pt_rows" in z and z["pt_rows"].shape[1]
-            != (4 if int(z["pt_window"]) == 4 else 3) * PT_SLOTS)
-        or ("at_keys" in z and z["at_keys"].shape[1] != 2 * ST_SLOTS)
+        "pt_rows" in z and z["pt_rows"].shape[1]
+        != (4 if int(z["pt_window"]) == 4 else 3) * PT_SLOTS
     )
     if stale:
         return g
