@@ -81,7 +81,10 @@ def kmers_of(codes: np.ndarray, n: int) -> np.ndarray:
     v = codes_to_kmer(codes[:n])
     out[0] = v
     if L > n:
-        mask = (np.uint64(1) << np.uint64(2 * n)) - np.uint64(1)
+        # n == 32 fills the whole word; the shifted-1 form would shift
+        # by 64 (numpy overflow warning, platform-defined value)
+        mask = (np.uint64(0xFFFFFFFFFFFFFFFF) if n >= 32
+                else (np.uint64(1) << np.uint64(2 * n)) - np.uint64(1))
         for i in range(1, L - n + 1):
             v = ((v << np.uint64(2)) | codes[i + n - 1]) & mask
             out[i] = v
