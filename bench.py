@@ -319,6 +319,65 @@ def main() -> int:
     except Exception as e:
         log(f"compute-floor leg failed: {type(e).__name__}: {e}")
 
+    # ---- per-mode device rates (VERDICT r4 item 6): the -b exhaustive
+    # DFS and -G dog/anchor engines are production modes; one steady
+    # in-dispatch loop figure each, same methodology as the headline.
+    # 2 of the 4 batches keep this leg short; rates are per-read. ----
+    mode_rates = {}
+    try:
+        words2 = words_s[:2]
+        nmbits2 = nmbits_s[:2]
+
+        @functools.partial(jax.jit,
+                           static_argnames=("mode", "L", "pmax", "reps"))
+        def mode_reps_jit(ix, words_s, nmbits_s, lens, *, mode, L, pmax,
+                          reps):
+            def body(i, carry):
+                ws = jnp.roll(words_s, i, axis=0)
+                ns = jnp.roll(nmbits_s, i, axis=0)
+
+                def one(wb):
+                    w, b = wb
+                    fused = align_batch_packed.__wrapped__(
+                        ix, w, b, lens, mode=mode, k=K, m=M,
+                        effort=EFFORT, L=L, pmax=pmax,
+                    )
+                    return jnp.sum(fused.astype(jnp.int32))
+                return carry ^ jnp.sum(jax.lax.map(one, (ws, ns)))
+            return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+        def mode_rate(label, mode, mix, mL, mpmax):
+            times = {}
+            Rm = 5
+            for reps in (1, Rm):
+                np.asarray(mode_reps_jit(
+                    mix, words2, nmbits2, lens_d, mode=mode, L=mL,
+                    pmax=mpmax, reps=reps,
+                ))
+                t0 = time.monotonic()
+                np.asarray(mode_reps_jit(
+                    mix, words2, nmbits2, lens_d, mode=mode, L=mL,
+                    pmax=mpmax, reps=reps,
+                ))
+                times[reps] = time.monotonic() - t0
+            ms = (times[Rm] - times[1]) / (Rm - 1) / 2 * 1e3
+            rps = BATCH / (ms / 1e3)
+            log(f"device mode {label}: {ms:.1f} ms/32k batch -> "
+                f"{rps:,.0f} reads/s device-only")
+            mode_rates[label] = rps
+
+        mode_rate("exhaustive", "exhaustive", ix, L, PMAX)
+        t0 = time.monotonic()
+        g_dog = build_graph_from_seqs(unitigs, K, dog_mode=True)
+        di_dog = build_device_index(g_dog, layout="scan")
+        ix_dog = index_to_device(di_dog)
+        jax.block_until_ready(ix_dog)
+        log(f"dog index build+H2D: {time.monotonic() - t0:.1f}s")
+        mode_rate("anchors", "anchors", ix_dog, L, PMAX)
+        del ix_dog, di_dog, g_dog
+    except Exception as e:
+        log(f"per-mode leg failed: {type(e).__name__}: {e}")
+
     frac = aligned_total / n_reads
     log(f"aligned fraction: {frac:.1%} of all reads (the reference "
         f"aligns 99.96% of overlap-bearing reads on its own workload; "
@@ -440,6 +499,12 @@ def main() -> int:
         out["compute_reads_per_sec"] = round(compute_rps, 1)
     out["tunnel_h2d_mbps"] = round(h2d_mbps, 1)
     out["tunnel_d2h_mbps"] = round(d2h_mbps, 1)
+    if "exhaustive" in mode_rates:
+        out["device_exhaustive_reads_per_sec"] = round(
+            mode_rates["exhaustive"], 1)
+    if "anchors" in mode_rates:
+        out["device_anchors_reads_per_sec"] = round(
+            mode_rates["anchors"], 1)
     if "warm" in e2e:
         out["end_to_end_reads_per_sec"] = round(e2e["warm"], 1)
         out["end_to_end_vs_baseline"] = round(

@@ -120,7 +120,7 @@ def main():
 
     summary = []
 
-    def run_config(name, layout, cap, graph=None):
+    def run_config(name, layout, cap, graph=None, mode="greedy"):
         gg = g if graph is None else graph
         old = device_mod.PROBE_TABLE_MAX_BYTES
         device_mod.PROBE_TABLE_MAX_BYTES = cap
@@ -137,6 +137,7 @@ def main():
         t_h2d = time.monotonic() - t0
         jlm = jl_meta_of(di)
         pmax = min(_pmax_for(di, L), PMAX_CAP)
+        MODE = mode
 
         # steady loop: whole workload in ONE dispatch, one stacked
         # scalar fetch per rep (the bench.py methodology — the former
@@ -147,7 +148,7 @@ def main():
             def one(wb):
                 w, b = wb
                 fused = align_batch_packed.__wrapped__(
-                    ix, w, b, lens, mode="greedy", k=K, m=M,
+                    ix, w, b, lens, mode=MODE, k=K, m=M,
                     effort=EFFORT, L=L, pmax=pmax, jl_meta=jlm,
                 )
                 st = fused[:, 0].astype(jnp.int32)
@@ -159,7 +160,7 @@ def main():
 
         t0 = time.monotonic()
         first = np.asarray(align_batch_packed(
-            ix, words_s[0], nmbits_s[0], lens_d, mode="greedy", k=K,
+            ix, words_s[0], nmbits_s[0], lens_d, mode=MODE, k=K,
             m=M, effort=EFFORT, L=L, pmax=pmax, jl_meta=jlm,
         ))
         t_first = time.monotonic() - t0
@@ -236,6 +237,16 @@ def main():
                                _dm.PROBE_TABLE_MAX_BYTES, graph=g_shuf)
                 finally:
                     os.environ.pop("DBGTPU_RENUMBER", None)
+    if want("dog_probe3"):
+        # dog/anchor mode at scale (VERDICT r5): array-backed anchor
+        # map build + -G device mapping on the 1M-unitig graph
+        t0 = time.monotonic()
+        g_dog = build_graph_from_seqs(unitigs, K, dog_mode=True)
+        rec(phase="dog_graph_build", dt=time.monotonic() - t0)
+        run_config("dog_probe3", "scan", _dm.PROBE_TABLE_MAX_BYTES,
+                   graph=g_dog, mode="anchors")
+        del g_dog
+
     if di is None:
         di = build_device_index(g, layout="scan")
 
