@@ -1465,6 +1465,9 @@ def align_batch_packed(
     elif mode == "exhaustive":
         from .exhaustive import align_batch_exhaustive
 
+        # NOT forwarding stage1_iters: the DFS's unit is candidate
+        # trials (~16x a greedy junction step), so it keeps its own
+        # stage-1 depth default
         res = align_batch_exhaustive.__wrapped__(
             ix, codes, nm, lens, k=k, m=m, partial=partial, pmax=pmax,
             jl_meta=jl_meta,

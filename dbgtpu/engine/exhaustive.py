@@ -77,7 +77,8 @@ def _ta(arr, idx):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "m", "partial", "max_iters", "pmax", "jl_meta"),
+    static_argnames=("k", "m", "partial", "max_iters", "pmax",
+                     "stage1_iters", "jl_meta"),
 )
 def align_batch_exhaustive(
     ix: IndexArrays,
@@ -90,6 +91,8 @@ def align_batch_exhaustive(
     partial: bool = False,
     max_iters: int = 0,
     pmax: int = 0,
+    stage1_iters: int = 48,   # full-batch candidate trials before the
+    #                           straggler compaction (0 disables)
     jl_meta=None,
 ):
     """Align a batch exhaustively.  Same result dict as align_batch
@@ -189,7 +192,10 @@ def align_batch_exhaustive(
 
     dcol = jnp.arange(D, dtype=jnp.int32)[None, :]
 
-    def bookkeepX(s):
+    def bookkeepX(s, env):
+        lens = env["lens"]
+        nxt_int, n_pos = env["nxt_int"], env["n_pos"]
+        bug_hi, bug_lo = env["bug_hi"], env["bug_lo"]
         s = dict(s)
         # --- LDONE: left stack exhausted ---
         ld = s["phase"] == _LDONE
@@ -252,9 +258,10 @@ def align_batch_exhaustive(
         s["phase"] = jnp.where(rgo, _RDFS, s["phase"])
         return s
 
-    def dfs_step(s):
+    def dfs_step(s, env):
+        lens, rwf, nmw = env["lens"], env["rwf"], env["nmw"]
         s = dict(s)
-        Bidx = jnp.arange(B, dtype=jnp.int32)
+        Bidx = jnp.arange(s["phase"].shape[0], dtype=jnp.int32)
         mL = s["phase"] == _LDFS
         mR = s["phase"] == _RDFS
         active = mL | mR
@@ -307,7 +314,7 @@ def align_batch_exhaustive(
         st("tc_nhi", c_nhi)
         st("tc_nlo", c_nlo)
         st("tn", c_n)
-        st("tci", jnp.zeros((B,), jnp.int32))
+        st("tci", jnp.zeros_like(s["tci"]))
         s["tpop"] = jnp.where(need_pop, False, s["tpop"])
         if partial:
             # right ROOT junction with zero candidates -> accept as-is
@@ -406,18 +413,52 @@ def align_batch_exhaustive(
         s["sp"] = jnp.where(restore | under, spm, s["sp"])
         return s
 
-    def cond(s):
-        live = jnp.any(s["phase"] != _DONEX)
-        return live & (s["iters"] < max_iters) if not uncapped else live
+    envx = dict(lens=lens, n_pos=n_pos, nxt_int=nxt_int,
+                bug_hi=bug_hi, bug_lo=bug_lo, rwf=rwf, nmw=nmw)
 
-    def body(s):
-        s = bookkeepX(s)
-        s = dfs_step(s)
-        s["iters"] = s["iters"] + 1
-        return s
+    def run(state, env, cap: int):
+        def cond(s):
+            live = jnp.any(s["phase"] != _DONEX)
+            return live & (s["iters"] < cap) if cap else live
 
-    state = jax.lax.while_loop(cond, body, state)
-    state = bookkeepX(state)   # resolve a terminal LDONE/RDONE/LRDY
+        def body(s):
+            s = bookkeepX(s, env)
+            s = dfs_step(s, env)
+            s["iters"] = s["iters"] + 1
+            return s
+
+        return jax.lax.while_loop(cond, body, state)
+
+    # staged execution (same shape as core._run_walks): the lockstep
+    # DFS runs as long as the slowest read explores, but most reads
+    # resolve within a few dozen candidate trials; run the full batch
+    # `stage1_iters` trials, compact the stragglers into a B/8
+    # sub-batch (row gathers over every state array incl. the spill
+    # stacks), finish them there, scatter back.  The final uncapped
+    # full-batch loop is the correctness net for sub-batch overflow.
+    if stage1_iters > 0 and uncapped and B >= 64:
+        Btail = max(B // 8, 32)
+        state = run(state, envx, stage1_iters)
+        pending = state["phase"] != _DONEX
+        tidx = jnp.nonzero(pending, size=Btail, fill_value=0)[0]
+        tsel = pending[tidx]
+        ts = {kk: (v if v.ndim == 0 else v[tidx])
+              for kk, v in state.items()}
+        ts["phase"] = jnp.where(tsel, ts["phase"], _DONEX)
+        tenv = {kk: v[tidx] for kk, v in envx.items()}
+        ts = run(ts, tenv, max_iters)
+
+        def merge(full, tail):
+            if full.ndim == 0:
+                return tail
+            keep = tsel.reshape((-1,) + (1,) * (full.ndim - 1))
+            return full.at[tidx].set(jnp.where(keep, tail, full[tidx]))
+
+        state = {kk: merge(state[kk], ts[kk]) for kk in state}
+        state = run(state, envx, max_iters)
+    else:
+        state = run(state, envx, max_iters)
+    state = bookkeepX(state, envx)  # resolve terminal LDONE/RDONE/LRDY
 
     res = dict(
         status=state["status"],

@@ -175,8 +175,46 @@ def main():
             ts.append(time.monotonic() - t0)
         med = sorted(ts)[1]
         rps = round(N_READS / med)
+
+        # device-only step: in-dispatch repeat loop, differenced — the
+        # per-dispatch+fetch cost (one tunnel RTT per rep above) is
+        # excluded, bench.py's compute-floor methodology
+        @functools.partial(jax.jit, static_argnames=("L", "pmax", "reps"))
+        def whole_reps(ix, words_s, nmbits_s, lens, *, L, pmax, reps):
+            def body(i, acc):
+                ws = jnp.roll(words_s, i, axis=0)
+                ns = jnp.roll(nmbits_s, i, axis=0)
+
+                def one(wb):
+                    w, b = wb
+                    fused = align_batch_packed.__wrapped__(
+                        ix, w, b, lens, mode=MODE, k=K, m=M,
+                        effort=EFFORT, L=L, pmax=pmax, jl_meta=jlm,
+                    )
+                    return jnp.sum(fused.astype(jnp.int32))
+                return acc ^ jnp.sum(jax.lax.map(one, (ws, ns)))
+            return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+        step_ms = None
+        try:
+            Rr = 5
+            times = {}
+            for reps in (1, Rr):
+                np.asarray(whole_reps(ix, words_s, nmbits_s, lens_d,
+                                      L=L, pmax=pmax, reps=reps))
+                t0 = time.monotonic()
+                np.asarray(whole_reps(ix, words_s, nmbits_s, lens_d,
+                                      L=L, pmax=pmax, reps=reps))
+                times[reps] = time.monotonic() - t0
+            step_ms = ((times[Rr] - times[1]) / (Rr - 1)
+                       / n_batches * 1e3)
+        except Exception as e:
+            rec(phase="step_ms_failed", name=name, error=str(e))
         rec(phase="config", name=name, build_s=t_build, h2d_s=t_h2d,
             first_s=t_first, reads_per_s=rps, aligned_frac=aligned / B,
+            device_step_ms=(round(step_ms, 2) if step_ms else None),
+            device_reads_per_s=(round(B / step_ms * 1e3)
+                                if step_ms else None),
             hbm_mb={k: v >> 20 for k, v in rep.items()},
             probe_window=(di.probe_tbl.window if di.probe_tbl else 0))
         summary.append((name, t_build, t_h2d, rps, rep["total"] >> 20))
