@@ -74,20 +74,14 @@ def kmers_of(codes: np.ndarray, n: int) -> np.ndarray:
     L = len(codes)
     if L < n:
         return np.zeros(0, dtype=np.uint64)
-    # rolling: v[i+1] = ((v[i] << 2) | c[i+n]) mod 4^n
-    # vectorized via cumulative shifts: weight of codes[i+j] in kmer i is
-    # 4^(n-1-j). Use a strided matmul-free approach: polynomial rolling.
-    out = np.zeros(L - n + 1, dtype=np.uint64)
-    v = codes_to_kmer(codes[:n])
-    out[0] = v
-    if L > n:
-        # n == 32 fills the whole word; the shifted-1 form would shift
-        # by 64 (numpy overflow warning, platform-defined value)
-        mask = (np.uint64(0xFFFFFFFFFFFFFFFF) if n >= 32
-                else (np.uint64(1) << np.uint64(2 * n)) - np.uint64(1))
-        for i in range(1, L - n + 1):
-            v = ((v << np.uint64(2)) | codes[i + n - 1]) & mask
-            out[i] = v
+    # weight of codes[i+j] in kmer i is 4^(n-1-j): n vectorized
+    # shifted-window ORs instead of an L-iteration python rolling loop
+    # (the dog-mode index scans the WHOLE unitig pool — ~65M bases at
+    # 1M unitigs — where the rolling loop cost ~2.5 minutes)
+    Lk = L - n + 1
+    out = np.zeros(Lk, dtype=np.uint64)
+    for j in range(n):
+        out |= codes[j : j + Lk] << np.uint64(2 * (n - 1 - j))
     return out
 
 
