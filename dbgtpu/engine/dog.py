@@ -175,13 +175,33 @@ def align_batch_anchors(
     codes32, rc32, rwf, rwr, nmw = _read_images(codes, nmask, lens, RWr)
 
     # k-mer scan (N encodes 3 throughout; no rolling quirk, see module
-    # docstring) + canonical anchor lookup at every position
+    # docstring) + canonical anchor lookup at every position.  The
+    # lookup is chunked over the position axis (lax.map): a direct
+    # [B, Lk] row gather materializes a [B, Lk, 5*S] temp — ~1.7 GB at
+    # B=32k with the 160-col fused rows, which OOMs HBM next to a
+    # large-graph anchor table (same fix as core._st_member_positions).
     fhi, flo = _scan_kmer_pairs_words(rwf, L, k)
     rhi, rlo = rcb_pair(fhi, flo, k)
     le_f = pair_le(fhi, flo, rhi, rlo)
     chi = jnp.where(le_f, fhi, rhi)
     clo = jnp.where(le_f, flo, rlo)
-    member, uid, upos, ucan = _anchor_lookup(ix, chi, clo)
+    chunk = 8
+    nch = (Lk + chunk - 1) // chunk
+    padc = nch * chunk - Lk
+    qh = jnp.pad(chi, ((0, 0), (0, padc))).reshape(
+        B, nch, chunk).transpose(1, 0, 2)
+    ql = jnp.pad(clo, ((0, 0), (0, padc))).reshape(
+        B, nch, chunk).transpose(1, 0, 2)
+    member, uid, upos, ucan = jax.lax.map(
+        lambda c: _anchor_lookup(ix, c[0], c[1]), (qh, ql)
+    )
+
+    def _unchunk(a):
+        return a.transpose(1, 0, 2).reshape(B, nch * chunk)[:, :Lk]
+
+    member, uid, upos, ucan = (
+        _unchunk(member), _unchunk(uid), _unchunk(upos), _unchunk(ucan)
+    )
     scan_col = jnp.arange(Lk, dtype=jnp.int32)[None, :]
     member = member & (scan_col <= (lens - k)[:, None])
 
