@@ -154,7 +154,8 @@ def sharded_packed_fn(
             st_fused=P(READS_AXIS), st_seed=P(), umeta=P(),
             pool_rows=P(), n_chunks=P(), pt_rows=P(READS_AXIS),
             pt_seed=P(), at_fused=P(), at_seed=P(), mph_rows=P(),
-            mph_jrows=P(), mph_f=P(),
+            mph_jrows=P(), mph_f=P(), amph_rows=P(), amph_arows=P(),
+            amph_f=P(),
         )
     else:
         ix_spec = P()
@@ -199,7 +200,8 @@ def sharded_packed_group_fn(
             st_fused=P(READS_AXIS), st_seed=P(), umeta=P(),
             pool_rows=P(), n_chunks=P(), pt_rows=P(READS_AXIS),
             pt_seed=P(), at_fused=P(), at_seed=P(), mph_rows=P(),
-            mph_jrows=P(), mph_f=P(),
+            mph_jrows=P(), mph_f=P(), amph_rows=P(), amph_arows=P(),
+            amph_f=P(),
         )
     else:
         ix_spec = P()

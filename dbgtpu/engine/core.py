@@ -135,6 +135,11 @@ class IndexArrays(NamedTuple):
     mph_jrows: jax.Array    # uint32 [n, 10] (khi, klo, 8 ID slots)
     mph_f: jax.Array        # uint32 [nbf, 12] final-level exact table
     #                         (khi x4 | klo x4 | slot-val x4)
+    # ---- compact MPHF dog-mode anchor layout (large keysets); static
+    # structure travels as the `al_meta` arg
+    amph_rows: jax.Array    # uint32 [ng, 5] fused rank groups
+    amph_arows: jax.Array   # uint32 [n, 5] (khi, klo, uid, upos, ucanon)
+    amph_f: jax.Array       # uint32 [nbf, 12] final-level exact table
 
 
 # umeta column layout (index.device.build_device_index)
@@ -150,6 +155,43 @@ def _fuse_scan_table(t) -> np.ndarray:
     return np.concatenate(
         [t.keys, t.vals.reshape(nb, -1).view(np.uint32)], axis=1
     )
+
+
+def _fuse_mphf(m):
+    """MPHF -> (fused rank-group rows [ng, 5], final table [nbf, 12]):
+    each 128-bit rank group packs rank_base+sample and its 4 level
+    words into ONE row (a level lookup is one row gather; the
+    words/samples element-gather formulation ran near-scalar).  Row
+    index for level lvl = sample_off[lvl] + (w>>2) — rows and rank
+    samples share the 4-word granularity, so the existing sample
+    offsets ARE the row offsets."""
+    ft = m.final_tbl
+    if ft is not None:
+        nbf = ft.n_buckets
+        mph_f = np.concatenate(
+            [ft.khi, ft.klo, ft.vals.reshape(nbf, 4).view(np.uint32)],
+            axis=1,
+        )
+    else:
+        mph_f = np.zeros((0, 12), np.uint32)
+    rows_parts = []
+    for lvl in range(m.n_levels):
+        w = m.words[m.word_off[lvl] : m.word_off[lvl + 1]]
+        s = m.samples[m.sample_off[lvl] : m.sample_off[lvl + 1]]
+        ng = len(s)
+        wp = np.zeros(ng * 4, np.uint32)
+        wp[: len(w)] = w
+        r = np.zeros((ng, 5), np.uint32)
+        r[:, 0] = (
+            s.astype(np.int64) + int(m.rank_base[lvl])
+        ).astype(np.uint32)
+        r[:, 1:5] = wp.reshape(ng, 4)
+        rows_parts.append(r)
+    mph_rows = (
+        np.concatenate(rows_parts) if rows_parts
+        else np.zeros((0, 5), np.uint32)
+    )
+    return mph_rows, mph_f
 
 
 def index_to_device(di) -> IndexArrays:
@@ -168,37 +210,7 @@ def index_to_device(di) -> IndexArrays:
     at = getattr(di, "anchor_scan", None)
     mj = getattr(di, "mphf_junction", None)
     if mj is not None:
-        m = mj.mphf
-        ft = m.final_tbl
-        if ft is not None:
-            nbf = ft.n_buckets
-            mph_f = np.concatenate(
-                [ft.khi, ft.klo,
-                 ft.vals.reshape(nbf, 4).view(np.uint32)], axis=1,
-            )
-        else:
-            mph_f = np.zeros((0, 12), np.uint32)
-        # fuse each 128-bit rank group into ONE row: [rank_base+sample,
-        # w0..w3].  Row index for level lvl = sample_off[lvl] + (w>>2)
-        # (rows and rank samples share the 4-word granularity, so the
-        # existing sample offsets ARE the row offsets).
-        rows_parts = []
-        for lvl in range(m.n_levels):
-            w = m.words[m.word_off[lvl] : m.word_off[lvl + 1]]
-            s = m.samples[m.sample_off[lvl] : m.sample_off[lvl + 1]]
-            ng = len(s)
-            wp = np.zeros(ng * 4, np.uint32)
-            wp[: len(w)] = w
-            r = np.zeros((ng, 5), np.uint32)
-            r[:, 0] = (
-                s.astype(np.int64) + int(m.rank_base[lvl])
-            ).astype(np.uint32)
-            r[:, 1:5] = wp.reshape(ng, 4)
-            rows_parts.append(r)
-        mph_rows = (
-            np.concatenate(rows_parts) if rows_parts
-            else np.zeros((0, 5), np.uint32)
-        )
+        mph_rows, mph_f = _fuse_mphf(mj.mphf)
         mph = dict(
             mph_rows=jnp.asarray(mph_rows),
             mph_jrows=jnp.asarray(mj.jrows),
@@ -209,6 +221,20 @@ def index_to_device(di) -> IndexArrays:
             mph_rows=jnp.zeros((0, 5), jnp.uint32),
             mph_jrows=jnp.zeros((0, 10), jnp.uint32),
             mph_f=jnp.zeros((0, 12), jnp.uint32),
+        )
+    ma = getattr(di, "anchor_mphf", None)
+    if ma is not None:
+        amph_rows, amph_f = _fuse_mphf(ma.mphf)
+        mph.update(
+            amph_rows=jnp.asarray(amph_rows),
+            amph_arows=jnp.asarray(ma.arows),
+            amph_f=jnp.asarray(amph_f),
+        )
+    else:
+        mph.update(
+            amph_rows=jnp.zeros((0, 5), jnp.uint32),
+            amph_arows=jnp.zeros((0, 5), jnp.uint32),
+            amph_f=jnp.zeros((0, 12), jnp.uint32),
         )
     ix = IndexArrays(
         st_fused=(jnp.asarray(_fuse_scan_table(t)) if t is not None
@@ -232,13 +258,7 @@ def index_to_device(di) -> IndexArrays:
     return ix
 
 
-def jl_meta_of(di):
-    """Hashable static descriptor of the MPHF junction layout (None
-    under the default scan layout); pass as align_batch*'s jl_meta."""
-    mj = getattr(di, "mphf_junction", None)
-    if mj is None:
-        return None
-    m = mj.mphf
+def _mphf_meta(m):
     return (
         m.n_levels,
         tuple(int(x) for x in m.mask),
@@ -250,20 +270,39 @@ def jl_meta_of(di):
     )
 
 
+def jl_meta_of(di):
+    """Hashable static descriptor of the MPHF junction layout (None
+    under the default scan layout); pass as align_batch*'s jl_meta."""
+    mj = getattr(di, "mphf_junction", None)
+    return None if mj is None else _mphf_meta(mj.mphf)
+
+
+def al_meta_of(di):
+    """Hashable static descriptor of the MPHF anchor layout (None when
+    the dog anchor table is the ScanTable or absent)."""
+    ma = getattr(di, "anchor_mphf", None)
+    return None if ma is None else _mphf_meta(ma.mphf)
+
+
 def _mphf_slot(ix: IndexArrays, jl_meta, qhi, qlo):
-    """Device MPHF lookup against IndexArrays fields (any query shape):
-    ONE fused-row gather per level (ix.mph_rows packs rank_base+sample
-    and the 4 words of each 128-bit group) + the exact final table —
-    bit-test, rank popcounts and the sample all come out of the same
-    row, where the former words/samples formulation paid ~5 near-scalar
-    element gathers per level per query (the measured 0.6x throughput
-    of the mphf layout, VERDICT r3 item 6).  Returns int32 slots, -1 =
-    not found (semantics of index.mphf.device_lookup)."""
+    """Device MPHF lookup against the junction-layout IndexArrays
+    fields; see _mphf_slot_arrays."""
+    return _mphf_slot_arrays(ix.mph_rows, ix.mph_f, jl_meta, qhi, qlo)
+
+
+def _mphf_slot_arrays(rows, frows, jl_meta, qhi, qlo):
+    """Device MPHF lookup (any query shape): ONE fused-row gather per
+    level (`rows` packs rank_base+sample and the 4 words of each
+    128-bit group) + the exact final table `frows` — bit-test, rank
+    popcounts and the sample all come out of the same row, where the
+    former words/samples formulation paid ~5 near-scalar element
+    gathers per level per query (the measured 0.6x throughput of the
+    mphf layout, VERDICT r3 item 6).  Returns int32 slots, -1 = not
+    found (semantics of index.mphf.device_lookup)."""
     from ..index.mphf import _RANK_STRIDE, _level_hash
     from .kmer32 import mix32b
 
     (n_levels, masks, woffs, soffs, rbases, has_final, final_nb) = jl_meta
-    rows = ix.mph_rows
     res = jnp.full(qhi.shape, -1, jnp.int32)
     for lvl in range(n_levels):
         pos = (_level_hash(qhi, qlo, lvl)
@@ -294,7 +333,7 @@ def _mphf_slot(ix: IndexArrays, jl_meta, qhi, qlo):
         fm = jnp.uint32(final_nb - 1)
         fval = jnp.full(qhi.shape, -1, jnp.int32)
         for hfn in (mix32, mix32b):
-            frow = ix.mph_f[(hfn(qhi, qlo) & fm).astype(jnp.int32)]
+            frow = frows[(hfn(qhi, qlo) & fm).astype(jnp.int32)]
             ok = (frow[..., 0:4] == qhi[..., None]) & (
                 frow[..., 4:8] == qlo[..., None]
             )
@@ -1413,7 +1452,7 @@ def _unpack_words(words, nmbits, L: int):
     jax.jit,
     static_argnames=(
         "mode", "k", "m", "effort", "L", "pmax", "stage1_iters",
-        "jl_meta", "partial", "out_dtype", "shard_axis",
+        "jl_meta", "al_meta", "partial", "out_dtype", "shard_axis",
     ),
 )
 def align_batch_packed(
@@ -1430,6 +1469,7 @@ def align_batch_packed(
     pmax: int,
     stage1_iters: int = 3,
     jl_meta=None,
+    al_meta=None,              # static MPHF anchor descriptor (dog mode)
     partial: bool = False,
     out_dtype: str = "auto",   # "auto" = int16 when values fit; "int32"
     shard_axis=None,           # bucket-range-sharded index (greedy only)
@@ -1460,7 +1500,7 @@ def align_batch_packed(
 
         res = align_batch_anchors.__wrapped__(
             ix, codes, nm, lens, k=k, m=m, effort=effort, pmax=pmax,
-            stage1_iters=stage1_iters, jl_meta=jl_meta,
+            stage1_iters=stage1_iters, jl_meta=jl_meta, al_meta=al_meta,
         )
     elif mode == "exhaustive":
         from .exhaustive import align_batch_exhaustive
@@ -1526,7 +1566,7 @@ def _compact_result(fused, pmax: int):
     jax.jit,
     static_argnames=(
         "mode", "k", "m", "effort", "L", "pmax", "stage1_iters",
-        "jl_meta", "partial", "out_dtype", "shard_axis",
+        "jl_meta", "al_meta", "partial", "out_dtype", "shard_axis",
     ),
 )
 def align_batches_packed_compact(
@@ -1535,7 +1575,8 @@ def align_batches_packed_compact(
     *,
     mode: str = "greedy",
     k: int, m: int, effort: int = 2, L: int, pmax: int,
-    stage1_iters: int = 3, jl_meta=None, partial: bool = False,
+    stage1_iters: int = 3, jl_meta=None, al_meta=None,
+    partial: bool = False,
     out_dtype: str = "auto", shard_axis=None,
 ):
     """align_batches_packed with the compact-D2H result transform:
@@ -1550,7 +1591,8 @@ def align_batches_packed_compact(
         fused = align_batch_packed.__wrapped__(
             ix, w, nb, ln, mode=mode, k=k, m=m, effort=effort, L=L,
             pmax=pmax, stage1_iters=stage1_iters, jl_meta=jl_meta,
-            partial=partial, out_dtype=out_dtype, shard_axis=shard_axis,
+            al_meta=al_meta, partial=partial, out_dtype=out_dtype,
+            shard_axis=shard_axis,
         )
         return _compact_result(fused, pmax)
 
@@ -1561,7 +1603,7 @@ def align_batches_packed_compact(
     jax.jit,
     static_argnames=(
         "mode", "k", "m", "effort", "L", "pmax", "stage1_iters",
-        "jl_meta", "partial", "out_dtype", "shard_axis",
+        "jl_meta", "al_meta", "partial", "out_dtype", "shard_axis",
     ),
 )
 def align_batches_packed(
@@ -1578,6 +1620,7 @@ def align_batches_packed(
     pmax: int,
     stage1_iters: int = 3,
     jl_meta=None,
+    al_meta=None,
     partial: bool = False,
     out_dtype: str = "auto",
     shard_axis=None,
@@ -1609,7 +1652,8 @@ def align_batches_packed(
         return align_batch_packed.__wrapped__(
             ix, w, nb, ln, mode=mode, k=k, m=m, effort=effort, L=L,
             pmax=pmax, stage1_iters=stage1_iters, jl_meta=jl_meta,
-            partial=partial, out_dtype=out_dtype, shard_axis=shard_axis,
+            al_meta=al_meta, partial=partial, out_dtype=out_dtype,
+            shard_axis=shard_axis,
         )
 
     return jax.lax.map(body, (words_s, nmbits_s, lens_s))

@@ -56,10 +56,27 @@ from .core import (
 from .kmer32 import mix32, pair_le, rcb_pair
 
 
-def _anchor_lookup(ix: IndexArrays, chi, clo):
-    """Canonical k-mer -> (member, uid, upos, ucanon), one fused row
-    gather per query (S=ST_SLOTS slot keys cols 0:2S, S slots x 3 vals
-    cols 2S:5S)."""
+def _anchor_lookup(ix: IndexArrays, chi, clo, al_meta=None):
+    """Canonical k-mer -> (member, uid, upos, ucanon).
+
+    ScanTable layout: one fused row gather per query (S slot keys cols
+    0:2S, S slots x 3 vals cols 2S:5S).  MPHF layout (al_meta set,
+    large keysets): level rank-row gathers + one [n, 5] verify/value
+    row — the reference's own anchor structure (anchorsMPHF +
+    anchorsPosition, aligner.cpp:434-443) at ~22 bits/key + 20 B/key
+    instead of ~150 B/key."""
+    if al_meta is not None:
+        from .core import _mphf_slot_arrays
+
+        slot = _mphf_slot_arrays(
+            ix.amph_rows, ix.amph_f, al_meta, chi, clo
+        )
+        row = ix.amph_arows[jnp.maximum(slot, 0)]
+        member = (slot >= 0) & (row[..., 0] == chi) & (
+            row[..., 1] == clo
+        )
+        vals = row[..., 2:5].astype(jnp.int32)
+        return member, vals[..., 0], vals[..., 1], vals[..., 2]
     S_ = ix.at_fused.shape[1] // 5    # slots/bucket (2 key + 3 val cols)
 
     nba = ix.at_fused.shape[0]
@@ -139,7 +156,7 @@ def _dog_inits(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "m", "effort", "max_iters", "pmax",
-                     "stage1_iters", "jl_meta"),
+                     "stage1_iters", "jl_meta", "al_meta"),
 )
 def align_batch_anchors(
     ix: IndexArrays,
@@ -154,13 +171,14 @@ def align_batch_anchors(
     pmax: int = 0,
     stage1_iters: int = 3,
     jl_meta=None,
+    al_meta=None,
 ):
     """Align a batch in dog/anchor mode.  Same result dict as
     align_batch."""
     B, L = codes.shape
-    if ix.at_fused.shape[0] == 0:
+    if ix.at_fused.shape[0] == 0 and al_meta is None:
         raise ValueError("index was not built in dog mode "
-                         "(anchor_scan is empty)")
+                         "(anchor table is empty)")
     k1 = k - 1
     Lk = L - k + 1
     Lw = (L + 15) // 16
@@ -185,23 +203,30 @@ def align_batch_anchors(
     le_f = pair_le(fhi, flo, rhi, rlo)
     chi = jnp.where(le_f, fhi, rhi)
     clo = jnp.where(le_f, flo, rlo)
-    chunk = 8
-    nch = (Lk + chunk - 1) // chunk
-    padc = nch * chunk - Lk
-    qh = jnp.pad(chi, ((0, 0), (0, padc))).reshape(
-        B, nch, chunk).transpose(1, 0, 2)
-    ql = jnp.pad(clo, ((0, 0), (0, padc))).reshape(
-        B, nch, chunk).transpose(1, 0, 2)
-    member, uid, upos, ucan = jax.lax.map(
-        lambda c: _anchor_lookup(ix, c[0], c[1]), (qh, ql)
-    )
+    if al_meta is not None:
+        # mphf layout: 5-col level/value rows, no [B, Lk, 5S] blow-up
+        member, uid, upos, ucan = _anchor_lookup(
+            ix, chi, clo, al_meta
+        )
+    else:
+        chunk = 8
+        nch = (Lk + chunk - 1) // chunk
+        padc = nch * chunk - Lk
+        qh = jnp.pad(chi, ((0, 0), (0, padc))).reshape(
+            B, nch, chunk).transpose(1, 0, 2)
+        ql = jnp.pad(clo, ((0, 0), (0, padc))).reshape(
+            B, nch, chunk).transpose(1, 0, 2)
+        member, uid, upos, ucan = jax.lax.map(
+            lambda c: _anchor_lookup(ix, c[0], c[1]), (qh, ql)
+        )
 
-    def _unchunk(a):
-        return a.transpose(1, 0, 2).reshape(B, nch * chunk)[:, :Lk]
+        def _unchunk(a):
+            return a.transpose(1, 0, 2).reshape(B, nch * chunk)[:, :Lk]
 
-    member, uid, upos, ucan = (
-        _unchunk(member), _unchunk(uid), _unchunk(upos), _unchunk(ucan)
-    )
+        member, uid, upos, ucan = (
+            _unchunk(member), _unchunk(uid), _unchunk(upos),
+            _unchunk(ucan),
+        )
     scan_col = jnp.arange(Lk, dtype=jnp.int32)[None, :]
     member = member & (scan_col <= (lens - k)[:, None])
 

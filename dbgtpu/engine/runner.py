@@ -30,6 +30,7 @@ from ..seq import encode, n_mask
 from .core import (
     align_batches_packed,
     align_batches_packed_compact,
+    al_meta_of,
     index_to_device,
     jl_meta_of,
 )
@@ -228,6 +229,7 @@ def align_bulk(
         raise ValueError(f"no device engine for mode {mode!r}")
     di = get_device_index(graph, index_layout)
     jlm = jl_meta_of(di)
+    alm = al_meta_of(di)
     ix = index_to_device(di)
     k = graph.k
     group_n = max(1, int(os.environ.get(
@@ -267,14 +269,14 @@ def align_bulk(
             return align_batches_packed(
                 ix, words_s, nmbits_s, blens_s, mode=mode, k=k, m=m,
                 effort=effort, L=L, pmax=pmax, jl_meta=jlm,
-                partial=partial,
+                al_meta=alm, partial=partial,
             )
 
         def compact_group_fn(ix, words_s, nmbits_s, blens_s, *, L, pmax):
             return align_batches_packed_compact(
                 ix, words_s, nmbits_s, blens_s, mode=mode, k=k, m=m,
                 effort=effort, L=L, pmax=pmax, jl_meta=jlm,
-                partial=partial,
+                al_meta=alm, partial=partial,
             )
     else:
         from ..dist.mesh import sharded_packed_group_fn

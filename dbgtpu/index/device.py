@@ -620,6 +620,7 @@ class DeviceIndex:
     # read k-mer's own canonicity, equivalent to the reference's string
     # compare at alignerGreedy.cpp:75-82)
     anchor_scan: ScanTable | None = None
+    anchor_mphf: "MphfAnchors | None" = None  # compact large-keyset form
     # ---- TPU fast-path layout (row-gather-only access patterns) ----
     scan_tbl: ScanTable | None = None   # junction keys, 1 gather/lookup
     umeta: np.ndarray | None = None     # int32 [U+1, 16] per-unitig row
@@ -652,6 +653,44 @@ class MphfJunction:
 
     mphf: "object"                # index.mphf.MPHF
     jrows: np.ndarray             # uint32 [n_keys, 10]
+
+
+@dataclass
+class MphfAnchors:
+    """Compact MPHF-backed dog-mode anchor table.
+
+    The reference's anchor index IS an MPHF (anchorsMPHF +
+    anchorsPosition, aligner.cpp:434-443): the dog keyset is every
+    k-mer of every unitig (~34M at 1M unitigs), where the dense
+    ScanTable costs ~150 B/key (5.1 GB of HBM and a multi-GB host
+    build); this layout is ~22 bits/key of level bitvectors plus a
+    20 B/key verify/value row — ~0.7 GB, with n_levels+1 gathers per
+    lookup instead of one."""
+
+    mphf: "object"                # index.mphf.MPHF
+    arows: np.ndarray             # uint32 [n_keys, 5] =
+    #                               (key-hi, key-lo, uid, upos, ucanon)
+
+
+# dog keysets at or above this size take the MPHF anchor layout
+# (below it, the one-gather ScanTable wins and stays small)
+ANCHOR_MPHF_MIN = int(os.environ.get("DBGTPU_ANCHOR_MPHF_MIN",
+                                     4_000_000))
+
+
+def build_mphf_anchors(keys: np.ndarray, vals: np.ndarray) -> MphfAnchors:
+    from .mphf import build_mphf
+
+    keys = np.asarray(keys, np.uint64)
+    vals = np.asarray(vals, np.int32)
+    m = build_mphf(keys, gamma=16.0, max_levels=3)
+    slots = m.lookup(keys)
+    hi, lo = split64(keys)
+    arows = np.zeros((len(keys), 5), np.uint32)
+    arows[slots, 0] = hi
+    arows[slots, 1] = lo
+    arows[slots, 2:5] = vals.view(np.uint32)
+    return MphfAnchors(m, arows)
 
 
 def build_mphf_junction(keys: np.ndarray, vals: np.ndarray) -> MphfJunction:
@@ -698,9 +737,13 @@ def hbm_report(di: DeviceIndex) -> dict:
         if di.pool_rows is not None else 0,
         "probe_table": int(di.probe_tbl.rows.nbytes)
         if di.probe_tbl is not None else 0,
-        "anchor_table": int(
-            di.anchor_scan.keys.nbytes + di.anchor_scan.vals.nbytes
-        ) if di.anchor_scan is not None else 0,
+        "anchor_table": (
+            int(di.anchor_scan.keys.nbytes + di.anchor_scan.vals.nbytes)
+            if di.anchor_scan is not None
+            else int(di.anchor_mphf.arows.nbytes
+                     + (di.anchor_mphf.mphf.total_bits() + 7) // 8)
+            if di.anchor_mphf is not None else 0
+        ),
     }
     rep["total"] = sum(rep.values())
     return rep
@@ -832,22 +875,32 @@ def build_device_index(
     rcend_hi, rcend_lo = split64(rcend)
 
     anchor_scan = None
+    anchor_mphf = None
     if g.dog_mode and g.anchors:
         akeys = g.anchors.keys                     # uint64 [n], sorted
         av = g.anchors.vals.astype(np.int64)       # [n, 2]
         # the unitig k-mer at each anchored offset, vectorized from the
-        # pool; ucanon = (it equals the canonical key)
+        # pool in chunks (an unchunked [n, k] uint64 gather temp is
+        # ~8 GB at 34M anchors); ucanon = (it equals the canonical key)
         pos = g.offsets[av[:, 0]] + av[:, 1]
         jk = np.arange(g.k, dtype=np.int64)[None, :]
         wk = (2 * (g.k - 1 - jk)).astype(np.uint64)
-        ukm = (g.pool[pos[:, None] + jk].astype(np.uint64) << wk).sum(
-            axis=1, dtype=np.uint64
-        )
+        n_anchor = len(akeys)
+        ukm = np.zeros(n_anchor, np.uint64)
+        CHA = 1 << 22
+        for r0 in range(0, n_anchor, CHA):
+            r1 = min(r0 + CHA, n_anchor)
+            ukm[r0:r1] = (
+                g.pool[pos[r0:r1, None] + jk].astype(np.uint64) << wk
+            ).sum(axis=1, dtype=np.uint64)
         auid = av[:, 0] if perm is None else perm[av[:, 0]]
         avals = np.column_stack(
             [auid, av[:, 1], (ukm == akeys).astype(np.int64)]
         ).astype(np.int32)
-        anchor_scan = build_scan_table(akeys, avals)
+        if n_anchor >= ANCHOR_MPHF_MIN or layout == "mphf":
+            anchor_mphf = build_mphf_anchors(akeys, avals)
+        else:
+            anchor_scan = build_scan_table(akeys, avals)
 
     uoff = uoff_src.astype(np.int32)
     ulen = ulen_src.astype(np.int32)
@@ -934,6 +987,7 @@ def build_device_index(
         rcend_hi=rcend_hi, rcend_lo=rcend_lo,
         max_ulen=max_ulen,
         anchor_scan=anchor_scan,
+        anchor_mphf=anchor_mphf,
         scan_tbl=scan_tbl,
         umeta=umeta,
         pool_rows=np.concatenate([fwd_rows, rc_rows], axis=0),

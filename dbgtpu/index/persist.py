@@ -88,6 +88,20 @@ def save_index(g: UnitigGraph, path: str, di: DeviceIndex | None = None,
     if at is not None:
         d.update(at_keys=at.keys, at_vals=at.vals,
                  at_nb=at.n_buckets, at_seed=at.seed)
+    ma = di.anchor_mphf
+    if ma is not None:
+        am = ma.mphf
+        d.update(
+            amph_n_keys=am.n_keys, amph_gamma=am.gamma,
+            amph_n_levels=am.n_levels, amph_words=am.words,
+            amph_word_off=am.word_off, amph_mask=am.mask,
+            amph_rank_base=am.rank_base, amph_samples=am.samples,
+            amph_sample_off=am.sample_off, amph_arows=ma.arows,
+        )
+        if am.final_tbl is not None:
+            t = am.final_tbl
+            d.update(amph_f_khi=t.khi, amph_f_klo=t.klo,
+                     amph_f_vals=t.vals)
     mj = di.mphf_junction
     if mj is not None:
         m = mj.mphf
@@ -184,6 +198,30 @@ def load_index(path: str, stream_device: bool | None = None) -> UnitigGraph:
             d_at_fused = jnp.asarray(_fuse_scan_table(at))
     pool_rows = z["d_pool_rows"]
     d_pool_rows = up(pool_rows)
+    def _load_mphf(z, pfx):
+        from .device import HashTable
+        from .mphf import MPHF
+
+        final = None
+        if f"{pfx}_f_khi" in z:
+            final = HashTable(z[f"{pfx}_f_khi"], z[f"{pfx}_f_klo"],
+                              z[f"{pfx}_f_vals"],
+                              z[f"{pfx}_f_khi"].shape[0])
+        return MPHF(
+            n_keys=int(z[f"{pfx}_n_keys"]),
+            gamma=float(z[f"{pfx}_gamma"]),
+            n_levels=int(z[f"{pfx}_n_levels"]), words=z[f"{pfx}_words"],
+            word_off=z[f"{pfx}_word_off"], mask=z[f"{pfx}_mask"],
+            rank_base=z[f"{pfx}_rank_base"],
+            samples=z[f"{pfx}_samples"],
+            sample_off=z[f"{pfx}_sample_off"], final_tbl=final,
+        )
+
+    ma = None
+    if "amph_words" in z:
+        from .device import MphfAnchors
+
+        ma = MphfAnchors(_load_mphf(z, "amph"), z["amph_arows"])
     mj = None
     if "mph_words" in z:
         from .device import HashTable, MphfJunction
@@ -220,7 +258,7 @@ def load_index(path: str, stream_device: bool | None = None) -> UnitigGraph:
         anchor_scan=at, scan_tbl=st,
         umeta=umeta, pool_rows=pool_rows,
         n_chunks=int(z["d_n_chunks"]), halo_bases=int(z["d_halo"]),
-        probe_tbl=pt, mphf_junction=mj,
+        probe_tbl=pt, mphf_junction=mj, anchor_mphf=ma,
         id_inv=(z["d_id_inv"] if "d_id_inv" in z else None),
     )
     if mj is not None:
@@ -243,8 +281,21 @@ def load_index(path: str, stream_device: bool | None = None) -> UnitigGraph:
             return g
     if jnp is not None:
         # pre-seed the index_to_device memo with the in-flight uploads
-        from ..engine.core import IndexArrays
+        from ..engine.core import IndexArrays, _fuse_mphf
 
+        if ma is not None:
+            amph_rows_np, amph_f_np = _fuse_mphf(ma.mphf)
+            amph = dict(
+                amph_rows=jnp.asarray(amph_rows_np),
+                amph_arows=jnp.asarray(ma.arows),
+                amph_f=jnp.asarray(amph_f_np),
+            )
+        else:
+            amph = dict(
+                amph_rows=jnp.zeros((0, 5), jnp.uint32),
+                amph_arows=jnp.zeros((0, 5), jnp.uint32),
+                amph_f=jnp.zeros((0, 12), jnp.uint32),
+            )
         di._ix_arrays = IndexArrays(
             st_fused=(d_st_fused if d_st_fused is not None
                       else jnp.zeros((0, 320), jnp.uint32)),
@@ -261,6 +312,7 @@ def load_index(path: str, stream_device: bool | None = None) -> UnitigGraph:
             mph_rows=jnp.zeros((0, 5), jnp.uint32),
             mph_jrows=jnp.zeros((0, 10), jnp.uint32),
             mph_f=jnp.zeros((0, 12), jnp.uint32),
+            **amph,
         )
     g._device_index = di
     return g

@@ -263,3 +263,46 @@ def test_anchor_table_excludes_final_kmer():
     assert anchors == []
     anchors = get_n_anchors(g, encode(u[3 : 3 + k]), 1)
     assert anchors and anchors[0][:2] == (1, 3)
+
+
+def test_dog_mphf_anchor_layout_byte_parity(tmp_path, monkeypatch):
+    """Large dog keysets take the MPHF anchor layout (the reference's
+    own anchorsMPHF structure); engine output must equal the spec's and
+    persistence must roundtrip device-ready."""
+    import dbgtpu.index.device as dm
+    from dbgtpu.index.persist import load_index, save_index
+    from dbgtpu.pipeline import run_pipeline
+
+    from .synth import make_dataset
+
+    monkeypatch.setattr(dm, "ANCHOR_MPHF_MIN", 1)   # force the layout
+    reads_fa, unitigs_fa = make_dataset(
+        seed=6161, genome_len=9000, k=21, n_reads=250, err_frac=0.4,
+    )
+    rf, uf = tmp_path / "r.fa", tmp_path / "u.fa"
+    rf.write_bytes(reads_fa)
+    uf.write_bytes(unitigs_fa)
+    want = run_pipeline([str(rf)], str(uf), k=21, impl="python",
+                        mode="anchors")
+    got = run_pipeline([str(rf)], str(uf), k=21, impl="jax",
+                       mode="anchors", batch_size=64)
+    assert got[0] == want[0] and got[1] == want[1]
+
+    # persistence roundtrip with the mphf anchor artifacts
+    from dbgtpu.index.build import build_graph
+    g = build_graph(str(uf), 21, dog_mode=True)
+    di = dm.build_device_index(g)
+    assert di.anchor_mphf is not None and di.anchor_scan is None
+    g._device_index = di
+    p = str(tmp_path / "dog.idx.npz")
+    save_index(g, p)
+    g2 = load_index(p)
+    d2 = g2._device_index
+    assert d2.anchor_mphf is not None
+    import numpy as np
+    np.testing.assert_array_equal(
+        d2.anchor_mphf.arows, di.anchor_mphf.arows
+    )
+    got2 = run_pipeline([str(rf)], str(uf), k=21, impl="jax",
+                        mode="anchors", batch_size=64, graph=g2)
+    assert got2[0] == want[0] and got2[1] == want[1]
