@@ -85,7 +85,7 @@ def main():
     from dbgtpu.index.build import build_graph_from_seqs
     from dbgtpu.index.device import build_device_index, hbm_report
     from dbgtpu.engine.core import (
-        align_batch_packed, index_to_device, jl_meta_of,
+        align_batch_packed, al_meta_of, index_to_device, jl_meta_of,
     )
     from dbgtpu.engine.runner import (
         PMAX_CAP, _bucket_len, _pmax_for, pack_words_batch,
@@ -136,6 +136,7 @@ def main():
         jax.block_until_ready(ix)
         t_h2d = time.monotonic() - t0
         jlm = jl_meta_of(di)
+        alm = al_meta_of(di)
         pmax = min(_pmax_for(di, L), PMAX_CAP)
         MODE = mode
 
@@ -150,6 +151,7 @@ def main():
                 fused = align_batch_packed.__wrapped__(
                     ix, w, b, lens, mode=MODE, k=K, m=M,
                     effort=EFFORT, L=L, pmax=pmax, jl_meta=jlm,
+                    al_meta=alm,
                 )
                 st = fused[:, 0].astype(jnp.int32)
                 return (jnp.sum((st == 1) | (st == 2)),
@@ -162,6 +164,7 @@ def main():
         first = np.asarray(align_batch_packed(
             ix, words_s[0], nmbits_s[0], lens_d, mode=MODE, k=K,
             m=M, effort=EFFORT, L=L, pmax=pmax, jl_meta=jlm,
+            al_meta=alm,
         ))
         t_first = time.monotonic() - t0
         aligned = int(((first[:, 0] == 1) | (first[:, 0] == 2)).sum())
@@ -190,6 +193,7 @@ def main():
                     fused = align_batch_packed.__wrapped__(
                         ix, w, b, lens, mode=MODE, k=K, m=M,
                         effort=EFFORT, L=L, pmax=pmax, jl_meta=jlm,
+                        al_meta=alm,
                     )
                     return jnp.sum(fused.astype(jnp.int32))
                 return acc ^ jnp.sum(jax.lax.map(one, (ws, ns)))
