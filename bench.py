@@ -329,9 +329,10 @@ def main() -> int:
         nmbits2 = nmbits_s[:2]
 
         @functools.partial(jax.jit,
-                           static_argnames=("mode", "L", "pmax", "reps"))
+                           static_argnames=("mode", "L", "pmax", "reps",
+                                            "al_meta"))
         def mode_reps_jit(ix, words_s, nmbits_s, lens, *, mode, L, pmax,
-                          reps):
+                          reps, al_meta=None):
             def body(i, carry):
                 ws = jnp.roll(words_s, i, axis=0)
                 ns = jnp.roll(nmbits_s, i, axis=0)
@@ -340,24 +341,24 @@ def main() -> int:
                     w, b = wb
                     fused = align_batch_packed.__wrapped__(
                         ix, w, b, lens, mode=mode, k=K, m=M,
-                        effort=EFFORT, L=L, pmax=pmax,
+                        effort=EFFORT, L=L, pmax=pmax, al_meta=al_meta,
                     )
                     return jnp.sum(fused.astype(jnp.int32))
                 return carry ^ jnp.sum(jax.lax.map(one, (ws, ns)))
             return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
-        def mode_rate(label, mode, mix, mL, mpmax):
+        def mode_rate(label, mode, mix, mL, mpmax, al_meta=None):
             times = {}
             Rm = 5
             for reps in (1, Rm):
                 np.asarray(mode_reps_jit(
                     mix, words2, nmbits2, lens_d, mode=mode, L=mL,
-                    pmax=mpmax, reps=reps,
+                    pmax=mpmax, reps=reps, al_meta=al_meta,
                 ))
                 t0 = time.monotonic()
                 np.asarray(mode_reps_jit(
                     mix, words2, nmbits2, lens_d, mode=mode, L=mL,
-                    pmax=mpmax, reps=reps,
+                    pmax=mpmax, reps=reps, al_meta=al_meta,
                 ))
                 times[reps] = time.monotonic() - t0
             ms = (times[Rm] - times[1]) / (Rm - 1) / 2 * 1e3
@@ -373,7 +374,10 @@ def main() -> int:
         ix_dog = index_to_device(di_dog)
         jax.block_until_ready(ix_dog)
         log(f"dog index build+H2D: {time.monotonic() - t0:.1f}s")
-        mode_rate("anchors", "anchors", ix_dog, L, PMAX)
+        from dbgtpu.engine.core import al_meta_of
+
+        mode_rate("anchors", "anchors", ix_dog, L, PMAX,
+                  al_meta=al_meta_of(di_dog))
         del ix_dog, di_dog, g_dog
     except Exception as e:
         log(f"per-mode leg failed: {type(e).__name__}: {e}")
