@@ -28,3 +28,16 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "slow" not in item.keywords and "quick" not in item.keywords:
             item.add_marker(pytest.mark.quick)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA's CPU backend segfaults on the NEXT fresh compile after a
+    long accumulation of compiled executables in one process (observed
+    deterministically at ~50-70% of the full suite, always inside
+    backend_compile_and_load; any smaller selection passes).  Freeing
+    the executable caches between test modules keeps the per-process
+    accumulation bounded; per-module recompiles cost a little time and
+    buy a suite that finishes."""
+    yield
+    jax.clear_caches()
