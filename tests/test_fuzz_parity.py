@@ -19,6 +19,7 @@ drawn config)."""
 from __future__ import annotations
 
 import os
+import sys
 
 import numpy as np
 import pytest
@@ -108,6 +109,18 @@ def test_fuzz_spec_vs_reference_and_engine(tmp_path):
         case = _make_case(seed)
         label = (f"seed={seed} k={case['k']} m={case['m']} "
                  f"e={case['effort']} corr={case['correction']}")
+        # night runs watch the log: one line per case, flushed
+        print(f"[fuzz] case {case_i + 1}/{N_CASES} {label} "
+              f"({len(failures)} failures)",
+              file=sys.stderr, flush=True)
+        if case_i % 8 == 7:
+            # every case compiles fresh shapes; XLA's CPU backend
+            # segfaults once enough executables accumulate in one
+            # process (see conftest._clear_jax_caches_between_modules)
+            # — bound the accumulation inside this single long test
+            import jax
+
+            jax.clear_caches()
         try:
             flags = ["-c"] if case["correction"] else []
             ref_p, ref_na, _ = oracle.run_reference(
