@@ -43,11 +43,17 @@ class AnchorView:
     GBs of dict overhead (VERDICT r4), where the sorted key array +
     searchsorted view costs one vectorized argsort and 12 bytes/key."""
 
-    __slots__ = ("keys", "vals")
+    __slots__ = ("keys", "vals", "ucanon")
 
-    def __init__(self, keys: np.ndarray, vals: np.ndarray):
+    def __init__(self, keys: np.ndarray, vals: np.ndarray,
+                 ucanon: np.ndarray | None = None):
         self.keys = keys      # uint64 [n], sorted ascending
         self.vals = vals      # int32  [n, 2] (unitig_id, offset)
+        # optional [n] bool: unitig k-mer at (unitig, offset) equals
+        # the canonical key (forward orientation).  Computed for free
+        # during the build (the k-mer array is in hand); the device
+        # layout needs it and otherwise recomputes ~10^8 k-mers.
+        self.ucanon = ucanon
 
     def get(self, key, default=None):
         i = int(np.searchsorted(self.keys, np.uint64(key)))
@@ -301,5 +307,6 @@ def build_graph_from_seqs(seqs: List[bytes], k: int, dog_mode: bool = False) -> 
             g.anchors = AnchorView(
                 ck[last],
                 np.column_stack([uid[sel], offs[sel]]).astype(np.int32),
+                ucanon=(kms[pos_ok[sel]] == ck[last]),
             )
     return g

@@ -879,23 +879,23 @@ def build_device_index(
     if g.dog_mode and g.anchors:
         akeys = g.anchors.keys                     # uint64 [n], sorted
         av = g.anchors.vals.astype(np.int64)       # [n, 2]
-        # the unitig k-mer at each anchored offset, vectorized from the
-        # pool in chunks (an unchunked [n, k] uint64 gather temp is
-        # ~8 GB at 34M anchors); ucanon = (it equals the canonical key)
-        pos = g.offsets[av[:, 0]] + av[:, 1]
-        jk = np.arange(g.k, dtype=np.int64)[None, :]
-        wk = (2 * (g.k - 1 - jk)).astype(np.uint64)
         n_anchor = len(akeys)
-        ukm = np.zeros(n_anchor, np.uint64)
-        CHA = 1 << 22
-        for r0 in range(0, n_anchor, CHA):
-            r1 = min(r0 + CHA, n_anchor)
-            ukm[r0:r1] = (
-                g.pool[pos[r0:r1, None] + jk].astype(np.uint64) << wk
-            ).sum(axis=1, dtype=np.uint64)
+        # ucanon = (the unitig k-mer at the anchored offset equals the
+        # canonical key).  The graph build stores it on the AnchorView
+        # (the k-mer array is in hand there); graphs loaded from older
+        # npz files recompute it with ONE kmers_of pass over the pool
+        # + a row gather (the former per-anchor 31-column gather-sum
+        # was the dominant host cost of the 1M-unitig dog build)
+        if g.anchors.ucanon is not None:
+            ucanon = np.asarray(g.anchors.ucanon, bool)
+        else:
+            from ..seq import kmers_of
+
+            pos = g.offsets[av[:, 0]] + av[:, 1]
+            ucanon = kmers_of(g.pool, g.k)[pos] == akeys
         auid = av[:, 0] if perm is None else perm[av[:, 0]]
         avals = np.column_stack(
-            [auid, av[:, 1], (ukm == akeys).astype(np.int64)]
+            [auid, av[:, 1], ucanon.astype(np.int64)]
         ).astype(np.int32)
         if n_anchor >= ANCHOR_MPHF_MIN or layout == "mphf":
             anchor_mphf = build_mphf_anchors(akeys, avals)

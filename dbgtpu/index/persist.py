@@ -31,7 +31,10 @@ def _anchor_arrays(g: UnitigGraph) -> dict:
     if not (g.dog_mode and g.anchors):
         return {}
     # the AnchorView IS sorted arrays; persist them verbatim
-    return dict(anchor_keys=g.anchors.keys, anchor_vals=g.anchors.vals)
+    d = dict(anchor_keys=g.anchors.keys, anchor_vals=g.anchors.vals)
+    if g.anchors.ucanon is not None:
+        d["anchor_ucanon"] = np.asarray(g.anchors.ucanon, bool)
+    return d
 
 
 def save_index(g: UnitigGraph, path: str, di: DeviceIndex | None = None,
@@ -322,9 +325,12 @@ def _load_anchors(g: UnitigGraph, z) -> None:
     if "anchor_keys" in z:
         from .build import AnchorView
 
-        # stored sorted; older files carried int64 vals
+        # stored sorted; older files carried int64 vals (and no ucanon
+        # column — the device build recomputes it for those)
         g.anchors = AnchorView(
-            z["anchor_keys"], z["anchor_vals"].astype(np.int32)
+            z["anchor_keys"], z["anchor_vals"].astype(np.int32),
+            ucanon=(np.asarray(z["anchor_ucanon"], bool)
+                    if "anchor_ucanon" in z else None),
         )
 
 
