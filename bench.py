@@ -458,7 +458,12 @@ def main() -> int:
             # PCIe-attached host (~10+ GB/s) transfer time ~vanishes.
             t_xfer_meas = (ph2d / (h2d_mbps * 1e6)
                            + pd2h / (d2h_mbps * 1e6))
-            t_other = max(dt_m - t_xfer_meas, 0.05)
+            # non-transfer floor: the measured device compute of the
+            # whole workload (grouped dispatches overlap transfers, so
+            # on a very slow tunnel dt - t_xfer can go negative and a
+            # fixed epsilon would turn the projection into a fantasy)
+            t_dev = (device_step_ms or 15.0) / 1e3 * N_BATCHES
+            t_other = max(dt_m - t_xfer_meas, t_dev, 0.05)
             t_ref = (ph2d + pd2h) / (30 * 1e6)
             e2e["warm_proj_30"] = n_reads / (t_other + t_ref)
             log(f"warm projection at 30 MB/s tunnel: "
